@@ -1,38 +1,448 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KELOS windowed top-N outlier query on
+/root/testdata/sf0.001.  ``queries()`` exposes one callable per
+implemented operator surface (SURVEY.md §2 + the training-data-pipeline
+operators); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for
+every relationally-expressible query.  The KELOS pipeline itself is a
+stateful order-dependent streaming algorithm (greedy micro-clustering +
+KDE + KLOME pruning) and is not SQL-expressible — it is covered by the
+rows-only check here and by the oracle-parity suite in tests/.
+
+All oracle-checked queries emit integer/boolean/string/decimal-derived
+columns or raw passthrough doubles, so value hashes are engine-exact
+(sums are computed in DECIMAL(18,2) then cast to double in BOTH engines;
+timestamps are emitted as integer epoch-microseconds).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kelos_on_kafka_spark.config import KelosConfig
+from kelos_on_kafka_spark.functions.features import doc_features
+from kelos_on_kafka_spark.operators import dedup, similarity, textstats, windowing
+from kelos_on_kafka_spark.operators.kelos_batch import detect_outliers
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: KELOS windowed top-N outliers over document-derived features
+# ---------------------------------------------------------------------------
+
+
+def _kelos_points(spark: SparkSession, sf_dir: str, per_pane: int) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("id"),
+        F.timestamp_seconds(
+            (F.expr(f"doc_id div {per_pane}")) * F.lit(10)
+        ).alias("ts"),
+        doc_features(F.col("text")).alias("features"),
+    )
+    return feats
+
+
+def q_kelos_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = KelosConfig(n=10)
+    pts = _kelos_points(spark, sf_dir, per_pane=100)
+    return detect_outliers(pts, cfg).select(
+        "window_id", "rank", "point_id", "klome", "density"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    cfg = KelosConfig(n=10)
+    pts = _kelos_points(spark, SF_DEFAULT, per_pane=16)
+    return detect_outliers(pts, cfg).select(
+        "window_id", "rank", "point_id", "klome", "density"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed / streaming-surface queries over `events`
+# ---------------------------------------------------------------------------
+
+
+def q_pane_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        windowing.pane_id("ts", 3600).alias("pane_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = windowing.with_pane(_t(spark, sf_dir, "events"), "ts", 3600)
+    ev = windowing.explode_to_sliding_windows(ev, "pane_id", 3)
+    return ev.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return windowing.session_windows(ev, "ts", ["user_id"], 1800)
+
+
+def q_topn_per_pane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = windowing.with_pane(_t(spark, sf_dir, "events"), "ts", 86400)
+    w = Window.partitionBy("pane_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("pane_id", "rn", "event_id", "value")
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        windowing.epoch_us("ts").alias("ts_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("cts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("pts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.lit(HOUR_US)),
+    ).select("click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity over `documents` and `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            textstats.doc_fingerprint("text", 8).alias("fingerprint"),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        shingle_words=3,
+        min_jaccard_pct=2,
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.corpus_stats_by_lang(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, probe_ids=list(range(20)), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") < 30)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kelos_topn": q_kelos_topn,
+        "pane_agg": q_pane_agg,
+        "sliding_window": q_sliding_window,
+        "session_windows": q_session_windows,
+        "topn_per_pane": q_topn_per_pane,
+        "interval_join": q_interval_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "quality_flags": q_quality_flags,
+        "knn_cosine": q_knn_cosine,
+        "region_revenue": q_region_revenue,
+        "pricing_summary": q_pricing_summary,
+        "semi_join": q_semi_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # kelos_topn: stateful order-dependent streaming pipeline, not
+        # SQL-expressible — rows-only check (parity vs the NumPy oracle is
+        # enforced in tests/test_spark_batch.py).
+        "pane_agg": """
+            SELECT epoch_us(ts) // 3600000000 AS pane_id,
+                   count(*) AS n_events,
+                   cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "sliding_window": """
+            SELECT (epoch_us(ts) // 3600000000) + o.off AS window_id,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events CROSS JOIN (VALUES (0),(1),(2)) AS o(off)
+            GROUP BY 1
+        """,
+        "session_windows": """
+            WITH ordered AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts_us,
+                     CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ), sess AS (
+              SELECT user_id, ts_us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) AS session_last_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        "topn_per_pane": """
+            WITH p AS (
+              SELECT epoch_us(ts) // 86400000000 AS pane_id, event_id, value
+              FROM events
+            ), r AS (
+              SELECT pane_id, event_id, value,
+                     row_number() OVER (PARTITION BY pane_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM p
+            )
+            SELECT pane_id, rn, event_id, value FROM r WHERE rn <= 3
+        """,
+        "interval_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND epoch_us(p.ts) >= epoch_us(c.ts)
+             AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "dedup_fingerprint": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(array_to_string(
+                         (regexp_split_to_array(trim(text), '\\s+'))[1:8], ' '
+                     )) AS fingerprint
+              FROM documents
+            )
+            SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_docs
+            FROM f GROUP BY 1
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh + sb.n_sh - inter AS union_n
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 100 * inter >= 2 * (sa.n_sh + sb.n_sh - inter)
+        """,
+        "token_stats": """
+            WITH s AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS nt,
+                     length(text) AS nc,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(nt) AS BIGINT) AS sum_tokens,
+                   cast(sum(nc) AS BIGINT) AS sum_chars,
+                   cast(sum(nd) AS BIGINT) AS sum_digit_chars
+            FROM s GROUP BY lang
+        """,
+        "quality_flags": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS nt,
+                     length(text) AS nc,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+              FROM documents
+            )
+            SELECT doc_id,
+                   cast(nt AS BIGINT) AS n_tokens,
+                   cast(nc AS BIGINT) AS n_chars,
+                   cast(nd AS BIGINT) AS n_digit_chars,
+                   cast(CASE WHEN nt > 0
+                             THEN floor((100 * (nc - (nt - 1))) / nt)
+                             ELSE 0 END AS BIGINT) AS mean_token_len_x100,
+                   (nt < 5 OR 10 * nd > 3 * nc
+                    OR (CASE WHEN nt > 0
+                             THEN floor((100 * (nc - (nt - 1))) / nt)
+                             ELSE 0 END) > 1500) AS is_low_quality
+            FROM s
+        """,
+        "knn_cosine": """
+            WITH c AS (
+              SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), p AS (
+              SELECT vec_id AS pid, v AS pv FROM c WHERE vec_id < 20
+            ), s AS (
+              SELECT p.pid AS probe_id, c.vec_id AS neighbor_id,
+                     list_dot_product(p.pv, c.v)
+                     / (sqrt(list_dot_product(p.pv, p.pv))
+                        * sqrt(list_dot_product(c.v, c.v))) AS cosine
+              FROM p, c WHERE c.vec_id != p.pid
+            ), r AS (
+              SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM s
+            )
+            SELECT probe_id, rn AS rank, neighbor_id FROM r WHERE rn <= 5
+        """,
+        "region_revenue": """
+            SELECT r_name, count(*) AS n_orders,
+                   cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_quantity < 30
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000
+            )
+        """,
+    }

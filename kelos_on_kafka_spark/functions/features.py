@@ -1,0 +1,145 @@
+"""Vectorized per-page feature extraction — Arrow/pandas UDFs only, no
+per-row Python (BASELINE.json input_hint).
+
+Replaces the reference's "CSV row = feature vector" assumption
+(InputProducer.java:50-61) with a deterministic map from Common-Crawl
+style pages ``(url, warc_ts, html, text, lang)`` to d=4 numeric vectors.
+d stays < 8 so NumPy's sequential summation keeps float-op order parity
+with the scalar kernel (see core.py module docstring).
+
+Determinism contract (north_star): extraction is a pure function of the
+page bytes — byte-identical extracted text per url across runs and
+parallelism levels, verified in tests/test_features.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+FEATURE_DIM = 4
+FEATURE_NAMES = [
+    "log_text_len",  # log10(1+|text|) / 2
+    "link_density",  # anchors per KiB of text, capped
+    "digit_ratio",  # digit chars / text chars, x10
+    "mean_word_len",  # mean token length / 10, capped
+]
+
+_TAG_RE = r"<[^>]*>"
+
+
+def extract_text_pandas(html: pd.Series) -> pd.Series:
+    """Deterministic text extraction from raw HTML bytes: utf-8 decode
+    (replace errors), strip tags, collapse whitespace.  Pure function of
+    the bytes — the byte-identical-per-url invariant follows."""
+    s = html.apply(
+        lambda b: b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else str(b)
+    )
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s
+
+
+def page_features_pandas(
+    text: pd.Series, html: pd.Series | None = None
+) -> pd.Series:
+    """Compute the d=4 feature vector for a batch of pages.
+
+    All arithmetic is float64 and scale-fixed (no data-dependent
+    normalization) so the same page always maps to the same vector in
+    batch and streaming.  Scales are chosen so same-kind pages fall
+    within the reference's 0.25 clustering radius.
+    """
+    t = text.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.float64)
+    safe = np.maximum(n_chars, 1.0)
+
+    f1 = np.log10(1.0 + n_chars) / 2.0
+
+    if html is not None:
+        h = html.apply(
+            lambda b: b.decode("utf-8", "replace")
+            if isinstance(b, (bytes, bytearray))
+            else ("" if b is None else str(b))
+        )
+        anchors = h.str.count("<a ").to_numpy(dtype=np.float64)
+    else:
+        anchors = np.zeros(len(t))
+    f2 = np.minimum(anchors / (1.0 + n_chars / 1024.0), 20.0) / 10.0
+
+    digits = t.str.count(r"[0-9]").to_numpy(dtype=np.float64)
+    f3 = (digits / safe) * 10.0 / 4.0
+
+    n_words = t.str.count(r"\S+").to_numpy(dtype=np.float64)
+    n_nonspace = t.str.count(r"\S").to_numpy(dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_wl = np.where(n_words > 0, n_nonspace / np.maximum(n_words, 1.0), 0.0)
+    f4 = np.fmin(mean_wl, 20.0) / 10.0
+
+    mat = np.column_stack([f1, f2, f3, f4])
+    return pd.Series([list(row) for row in mat])
+
+
+# Spark-facing UDFs (Arrow-batched).  pandas_udf infers types from the
+# signature, so each wrapper has a plain (pd.Series, ...) signature.
+
+
+@F.pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return extract_text_pandas(html)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def page_features_with_html(text: pd.Series, html: pd.Series) -> pd.Series:
+    return page_features_pandas(text, html)
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def page_features_text_only(text: pd.Series) -> pd.Series:
+    return page_features_pandas(text, None)
+
+
+def doc_features_pandas(text: pd.Series) -> pd.Series:
+    """d=4 features for plain-text documents (no html), chosen so every
+    dimension varies on natural text — a constant dimension would make
+    the KDE bandwidth collapse to 0 and the reference semantics then
+    yield NaN densities (GaussianKernel with h=0):
+    [log10(1+chars)/2, mean_token_len/10, type_token_ratio, hapax_ratio].
+    """
+    out = np.empty((len(text), FEATURE_DIM), dtype=np.float64)
+    for i, s in enumerate(text.fillna("")):
+        toks = s.split()
+        n = len(toks)
+        nc = len(s)
+        if n:
+            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            ttr = len(uniq) / n
+            hapax = float((counts == 1).sum()) / n
+            mwl = sum(map(len, toks)) / n
+        else:
+            ttr = hapax = mwl = 0.0
+        out[i, 0] = np.log10(1.0 + nc) / 2.0
+        out[i, 1] = mwl / 10.0
+        out[i, 2] = ttr
+        out[i, 3] = hapax
+    return pd.Series([list(row) for row in out])
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def doc_features(text: pd.Series) -> pd.Series:
+    return doc_features_pandas(text)
+
+
+def featurize_pages(df, text_col: str = "text", html_col: str | None = "html"):
+    """pages(url, warc_ts, html, text, lang) -> + features array<double>.
+
+    Catalyst prunes to exactly the referenced columns; the UDF is one
+    Arrow exchange per batch."""
+    if html_col is not None and html_col in df.columns:
+        feats = page_features_with_html(F.col(text_col), F.col(html_col))
+    else:
+        feats = page_features_text_only(F.col(text_col))
+    return df.withColumn("features", feats)

@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale text corpora — exact,
+MinHash+LSH, n-gram Jaccard and SimHash.  All hot paths are built-in
+Catalyst expressions (md5/conv/split/explode/groupBy); nothing crosses
+into Python, so every stage is whole-stage-codegen'd and shuffles only
+on the natural keys (fingerprint / band bucket / shingle).
+
+Scale notes (100 TB):
+- exact dedup shuffles one 16-byte digest per doc (groupBy fingerprint);
+- MinHash banding shuffles (band_id, band_hash) pairs — candidate pairs
+  are generated per-bucket, never all-pairs;
+- the shingle self-join for verification joins only within buckets;
+  skewed buckets (boilerplate shingles) are handled by AQE skew-join
+  plus the ``max_bucket`` guard that drops degenerate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _shingles(text_col: str, n_words: int):
+    """All n-word shingles of a whitespace-tokenized text, as an array
+    column (built-ins only: split + sequence + transform + array_join)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n_words, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n_words), " ")
+    )
+
+
+def _hash64(col, seed: int):
+    """Deterministic, engine-portable 60-bit hash: first 15 hex digits of
+    md5(seed || ':' || value).  (xxhash64 would be faster but is not
+    reproducible in external SQL engines; used only where oracle parity
+    matters — swap for xxhash64 via `fast=True` paths at scale.)"""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: md5 fingerprint -> group -> keeper = min id.
+    Returns (fingerprint, keeper_id, n_docs)."""
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each of ``n_hashes`` seeded
+    hash functions, the minimum hash over the document's word shingles.
+    Returns (doc_id, minhash: array<long>[n_hashes])."""
+    with_sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
+    ).where(F.col("shingle") != "")
+    aggs = [
+        F.min(_hash64(F.col("shingle"), seed)).alias(f"h{seed}")
+        for seed in range(n_hashes)
+    ]
+    sigs = with_sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id",
+        F.array(*[F.col(f"h{s}") for s in range(n_hashes)]).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band
+    bucket.  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    Buckets larger than ``max_bucket`` are dropped (boilerplate guard —
+    logged cap, the scale-critical skew control)."""
+    bands = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.element_at("minhash", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    sized = bands.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("n") <= max_bucket)
+    left = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    min_jaccard_pct: int = 10,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
+    (shingle-inverted-index join, never a cross join).  Integer-only
+    output for engine-portable exactness:
+    (doc_a, doc_b, inter, union_n) with 100*inter >= min_pct*union_n."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .where(100 * F.col("inter") >= min_jaccard_pct * F.col("union_n"))
+        .select("doc_a", "doc_b", "inter", "union_n")
+    )
+
+
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, majority vote of token
+    hash bits.  Built-ins only (explode + bit ops + groupBy).
+    Returns (doc_id, simhash: long)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(
+            2 * F.col(f"b{b}") >= F.col("n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", sim.alias("simhash"))

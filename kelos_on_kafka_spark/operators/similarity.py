@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — probes broadcast against the corpus
+(never a shuffled cross join), dot products via built-in
+``zip_with``/``aggregate`` (JVM-side, no Python).  Scale path: LSH
+bucketing by random-hyperplane sign bits, so each probe only scans its
+bucket.  Integer-only ranking output keeps the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the given probe ids.
+
+    Plan shape: corpus scan -> broadcast join with the tiny probe set ->
+    per-row dot/norm (codegen) -> window rank.  Returns
+    (probe_id, rank, neighbor_id) — ranking by (cosine desc, neighbor_id)
+    with the float kept internal so results are engine-exact."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    probes = corpus.where(
+        F.col("neighbor_id").isin([int(p) for p in probe_ids])
+    ).select(
+        F.col("neighbor_id").alias("probe_id"), F.col("vec").alias("pvec")
+    )
+    joined = corpus.join(F.broadcast(probes)).where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        (
+            _dot(F.col("pvec"), F.col("vec"))
+            / (_norm(F.col("pvec")) * _norm(F.col("vec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 41,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane sign-bit bucketing; probes
+    scan only their own bucket.  Hyperplanes are deterministic
+    (hash-seeded per (plane, dim)), so the bucketing is reproducible.
+    At 100 TB this turns an O(N) probe scan into O(N / 2^n_planes)."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    # deterministic pseudo-random hyperplane component for (plane, dim):
+    # centered 64-bit hash scaled to [-1, 1]
+    def plane_component(p: int, i):
+        h = F.xxhash64(F.lit(f"{seed}:{p}"), i)
+        return (h.cast("double") / F.lit(float(2**63)))
+
+    def bucket_of(vec):
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(vec) - 1),
+                        lambda i: plane_component(p, i),
+                    ),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    bucketed = corpus.withColumn("bucket", bucket_of(F.col("vec")))
+    probes = bucketed.where(
+        F.col("neighbor_id").isin([int(p) for p in probe_ids])
+    ).select(
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("bucket").alias("pbucket"),
+    )
+    joined = bucketed.join(
+        F.broadcast(probes), F.col("bucket") == F.col("pbucket")
+    ).where(F.col("neighbor_id") != F.col("probe_id"))
+    scored = joined.select(
+        "probe_id",
+        "neighbor_id",
+        (
+            _dot(F.col("pvec"), F.col("vec"))
+            / (_norm(F.col("pvec")) * _norm(F.col("vec")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id")
+    )

@@ -1,0 +1,91 @@
+"""Driver-contract mirror: run every ``queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables (sf0.001 for
+speed; the driver uses sf0.01) and compare row count, column names and
+order-insensitive values — the same gate CORRECTNESS_r{N}.json records."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return a == b
+    return str(a) == str(b)
+
+
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = ddb.execute(ORACLES[name]).df()
+
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: rows {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+
+    a = _normalize(spark_pdf)
+    b = _normalize(duck_pdf)
+    mism = []
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if not _values_equal(x, y):
+                mism.append((col, i, x, y))
+                if len(mism) > 5:
+                    break
+    assert not mism, f"{name}: {mism[:5]}"
+
+
+def test_rows_only_queries_run(spark):
+    names = set(entry_mod.queries()) - set(ORACLES)
+    assert "kelos_topn" in names
+    for name in names:
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"window_id", "rank", "point_id", "klome", "density"} <= set(
+        df.columns
+    )
