@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` = total wall-clock seconds over the query set.  The queries map
+also carries `kelos_pages_per_sec` (end-to-end page throughput of the
+flagship streaming-analytics pipeline: synthetic Common-Crawl-style pages
+-> Arrow feature extraction -> pane clustering -> per-window KDE/KLOME ->
+top-N), the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("KELOS_BENCH_PAGES", "120000"))
+# Shards = independent logical streams (the deployment unit of sequential
+# consistency).  Pages per pane is sized so each (shard, pane) holds
+# ~1000 points — the reference's elements-per-pane density
+# (InputProducer.java:25: 3000/window over 3 panes).
+N_SHARDS = int(os.environ.get("KELOS_BENCH_SHARDS", "8"))
+
+
+def _sf_label(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from kelos_on_kafka_spark.config import KelosConfig
+    from kelos_on_kafka_spark.functions.features import featurize_pages
+    from kelos_on_kafka_spark.operators.kelos_batch import detect_outliers
+    from kelos_on_kafka_spark.plans.session import get_spark
+    from kelos_on_kafka_spark.sources.pages import synth_pages, to_spark_pages
+
+    spark = get_spark(
+        app_name="kelos-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: end-to-end pages pipeline (throughput metric) --------
+    pages_pdf = synth_pages(
+        n=N_PAGES, seed=42, pages_per_pane=1000 * N_SHARDS
+    )
+    pages = to_spark_pages(spark, pages_pdf).withColumn(
+        "shard", F.abs(F.xxhash64("url")) % N_SHARDS
+    )
+    pages = pages.repartition(CPUS).persist()
+    pages.count()  # materialize input outside the timed region
+
+    t0 = time.perf_counter()
+    feat = featurize_pages(pages)
+    pts = feat.select(
+        F.abs(F.xxhash64("url")).alias("id"),
+        F.col("warc_ts").alias("ts"),
+        "features",
+        "shard",
+    )
+    out = detect_outliers(
+        pts, KelosConfig(n=100), shard_col="shard"
+    )
+    n_outliers = out.count()
+    kelos_secs = time.perf_counter() - t0
+    timings["kelos_pages_e2e"] = round(kelos_secs, 3)
+    timings["kelos_pages_per_sec"] = round(N_PAGES / kelos_secs, 1)
+    timings["kelos_outlier_rows"] = n_outliers
+    pages.unpersist()
+
+    # --- driver-contract queries at SF_DIR ------------------------------
+    qs = entry_mod.queries()
+    bench_queries = [
+        "kelos_topn",
+        "pane_agg",
+        "sliding_window",
+        "session_windows",
+        "topn_per_pane",
+        "interval_join",
+        "dedup_exact",
+        "ngram_jaccard",
+        "token_stats",
+        "quality_flags",
+        "knn_cosine",
+        "region_revenue",
+        "pricing_summary",
+        "semi_join",
+    ]
+    total = kelos_secs
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+                "cpus": CPUS,
+                "bench_pages": N_PAGES,
+                "shards": N_SHARDS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

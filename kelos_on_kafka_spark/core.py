@@ -134,6 +134,14 @@ OrderedMap = dict
 # ---------------------------------------------------------------------------
 
 
+def _kernel_raw(x, h):
+    """Gaussian kernel without errstate management — callers wrap a whole
+    stage in one ``np.errstate`` block (the per-call context manager was
+    the profiling hotspot)."""
+    exp = np.exp(-(x * x) / (2.0 * h * h))
+    return exp / (_SQRT_2PI * h)
+
+
 def gaussian_kernel(x: np.ndarray, h: np.ndarray) -> np.ndarray:
     """``exp(-x²/(2h²)) / (sqrt(2π)·h)`` elementwise.
 
@@ -143,8 +151,7 @@ def gaussian_kernel(x: np.ndarray, h: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     h = np.asarray(h, dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
-        exp = np.exp(-(x * x) / (2.0 * h * h))
-        return exp / (_SQRT_2PI * h)
+        return _kernel_raw(x, h)
 
 
 # ---------------------------------------------------------------------------
@@ -399,61 +406,107 @@ def estimate_cluster_densities(
     forwarded; :49-51).  Quirks: weighted mean divided by k again (Q1,
     :76), bandwidth ``1.06·σ·k^(-1/(d+1))`` (Q3, :101).
 
+    Vectorized across clusters, bucketed by effective neighbor count k';
+    within a bucket every float op is elementwise, so the per-cluster
+    operation sequence is identical to the reference's scalar loops.
+
     Returns the surviving clusters (same objects, densities filled) in
     iteration order.
     """
-    survivors: OrderedMap[int, WindowCluster] = {}
-    for cid, cl in window_clusters.items():
-        knns = [
-            window_clusters[int(i)]
-            for i in cl.knn_ids
-            if int(i) in window_clusters
+    ids = list(window_clusters.keys())
+    if not ids:
+        return {}
+    pos = {cid: i for i, cid in enumerate(ids)}
+    cent_all = np.stack([window_clusters[c].centroid for c in ids])
+    sizes_all = np.array([window_clusters[c].size for c in ids], dtype=np.int64)
+    mins_all = np.stack([window_clusters[c].mins for c in ids])
+    maxs_all = np.stack([window_clusters[c].maxs for c in ids])
+
+    # resolve neighbor positions (id 0 / dropped ids absent -> skipped)
+    buckets: Dict[int, List[Tuple[int, List[int]]]] = {}
+    for row, cid in enumerate(ids):
+        nbrs = [
+            pos[int(i)]
+            for i in window_clusters[cid].knn_ids
+            if int(i) in pos
         ]
-        if len(knns) <= 1:
+        if len(nbrs) <= 1:
             continue
-        k = len(knns)
-        d = len(knns[0].centroid)
+        buckets.setdefault(len(nbrs), []).append((row, nbrs))
 
-        total_size = sum(c.size for c in knns)  # exact int
-        weights = [np.float64(c.size) / total_size for c in knns]
+    density = np.zeros(len(ids))
+    min_bound = np.zeros(len(ids))
+    max_bound = np.zeros(len(ids))
+    survivor_rows = np.zeros(len(ids), dtype=bool)
 
-        # means per dim: sum_m centroid*weight, then /= k (Q1)
-        mean = np.zeros(d)
-        for m in range(k):
-            mean = mean + knns[m].centroid * weights[m]
-        mean = mean / k
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for k, members in buckets.items():
+            rows = np.array([m[0] for m in members])
+            idxs = np.array([m[1] for m in members])  # (B, k)
+            ncent = cent_all[idxs]  # (B, k, d)
+            nsize = sizes_all[idxs]  # (B, k)
+            d = cent_all.shape[1]
 
-        var = np.zeros(d)
-        for m in range(k):
-            diff = knns[m].centroid - mean
-            var = var + diff * diff * weights[m]
-        std = np.sqrt(var)
+            total = nsize.sum(axis=1)  # exact int
+            weights = nsize.astype(np.float64) / total[:, None].astype(np.float64)
 
-        bw = 1.06 * std * np.float64(k) ** (-1.0 / (d + 1))
+            mean = np.zeros((len(rows), d))
+            for m in range(k):
+                mean = mean + ncent[:, m, :] * weights[:, m : m + 1]
+            mean = mean / k  # Q1
 
-        dist_to_min = cl.centroid - cl.mins
-        dist_to_max = cl.maxs - cl.centroid
-        radius = np.maximum(dist_to_min, dist_to_max)
+            var = np.zeros((len(rows), d))
+            for m in range(k):
+                diff = ncent[:, m, :] - mean
+                var = var + diff * diff * weights[:, m : m + 1]
+            std = np.sqrt(var)
+            bw = 1.06 * std * np.float64(k) ** (-1.0 / (d + 1))
 
-        density = np.float64(0.0)
-        min_bound = np.float64(0.0)
-        max_bound = np.float64(0.0)
-        for i in range(k):
-            difference = np.abs(cl.centroid - knns[i].centroid)
-            pk = _product(gaussian_kernel(difference, bw))
-            min_pk = _product(gaussian_kernel(difference + radius, bw))
-            max_pk = _product(
-                gaussian_kernel(np.maximum(difference - radius, 0.0), bw)
-            )
-            density = density + pk * weights[i]
-            min_bound = min_bound + min_pk * weights[i]
-            max_bound = max_bound + max_pk * weights[i]
+            own = cent_all[rows]
+            radius = np.maximum(own - mins_all[rows], maxs_all[rows] - own)
 
-        cl.density = float(density)
-        cl.min_density_bound = float(min_bound)
-        cl.max_density_bound = float(max_bound)
+            dens = np.zeros(len(rows))
+            minb = np.zeros(len(rows))
+            maxb = np.zeros(len(rows))
+            for i in range(k):
+                difference = np.abs(own - ncent[:, i, :])
+                pk = _product_cols(_kernel_raw(difference, bw))
+                min_pk = _product_cols(_kernel_raw(difference + radius, bw))
+                max_pk = _product_cols(
+                    _kernel_raw(np.maximum(difference - radius, 0.0), bw)
+                )
+                dens = dens + pk * weights[:, i]
+                minb = minb + min_pk * weights[:, i]
+                maxb = maxb + max_pk * weights[:, i]
+            density[rows] = dens
+            min_bound[rows] = minb
+            max_bound[rows] = maxb
+            survivor_rows[rows] = True
+
+    survivors: OrderedMap[int, WindowCluster] = {}
+    for row, cid in enumerate(ids):
+        if not survivor_rows[row]:
+            continue
+        cl = window_clusters[cid]
+        cl.density = float(density[row])
+        cl.min_density_bound = float(min_bound[row])
+        cl.max_density_bound = float(max_bound[row])
         survivors[cid] = cl
     return survivors
+
+
+def _product_cols(values: np.ndarray) -> np.ndarray:
+    """Sequential left-to-right product over the last axis starting at 1.0
+    (Java's ``productKernel *=`` dim loop), vectorized over rows."""
+    if values.ndim == 1:
+        acc = np.float64(1.0)
+        for v in values:
+            acc = acc * v
+        return acc
+    acc = np.ones(values.shape[0])
+    for j in range(values.shape[1]):
+        acc = acc * values[:, j]
+    return acc
 
 
 def _product(values: np.ndarray) -> np.float64:
@@ -545,6 +598,210 @@ def filter_candidates(
 # ---------------------------------------------------------------------------
 
 
+def _knn_points_matrix(
+    pids: np.ndarray,
+    X: np.ndarray,
+    cids: np.ndarray,
+    cent: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Vectorized candidate->cluster KNN: returns an (n_cand, k) int64
+    matrix of neighbor cluster ids, zero-padded (Q5).  A cluster whose id
+    equals the candidate's point id is excluded (ownIndex, Q6) by setting
+    its distance to +inf — it then sorts last and is masked to padding."""
+    n_cand = len(pids)
+    knn = np.zeros((n_cand, k), dtype=np.int64)
+    if n_cand == 0 or len(cids) == 0:
+        return knn
+    k_eff = min(k, len(cids))
+    chunk = max(1, 4_000_000 // max(len(cids), 1))
+    for s in range(0, n_cand, chunk):
+        e = min(s + chunk, n_cand)
+        diff = cent[None, :, :] - X[s:e, None, :]
+        dists = np.sqrt((diff * diff).sum(axis=2))  # (B, C)
+        excl = cids[None, :] == pids[s:e, None]
+        dists[excl] = np.inf
+        order = np.argsort(dists, axis=1, kind="stable")[:, :k_eff]
+        top_d = np.take_along_axis(dists, order, axis=1)
+        knn[s:e, :k_eff] = np.where(np.isfinite(top_d), cids[order], 0)
+    return knn
+
+
+def _resolve(keys_sorted: np.ndarray, id_matrix: np.ndarray):
+    """Resolve raw knn-id matrices against a sorted unique key table:
+    returns (positions clipped, found mask).  Duplicate ids (incl. the
+    0 padding, Q5) resolve repeatedly, exactly like the reference's
+    repeated store.get() loop."""
+    m = len(keys_sorted)
+    if m == 0 or id_matrix.size == 0:
+        return (
+            np.zeros_like(id_matrix),
+            np.zeros(id_matrix.shape, dtype=bool),
+        )
+    pos = np.searchsorted(keys_sorted, id_matrix)
+    posc = np.clip(pos, 0, m - 1)
+    found = keys_sorted[posc] == id_matrix
+    return posc, found
+
+
+def _point_densities(
+    keys: np.ndarray,
+    cent_table: np.ndarray,
+    cand_rows: np.ndarray,
+    knn_matrix: np.ndarray,
+):
+    """Stage-1 point KDE (P8): density per candidate from its resolved
+    mixed-store neighbors with uniform weights 1/k and the /k² mean (Q2);
+    candidates with <=1 resolved neighbors are dropped (:62-64).
+
+    Returns (densities (B,), keep mask (B,)); bucketed by resolved
+    neighbor count so every float op keeps the reference's scalar-loop
+    ordering."""
+    posc, found = _resolve(keys, knn_matrix)
+    counts = found.sum(axis=1)
+    b = len(cand_rows)
+    dens_out = np.zeros(b)
+    keep = counts > 1
+    d = cent_table.shape[1] if cent_table.size else 0
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for kk in np.unique(counts[keep]):
+            sel = counts == kk
+            nbr = posc[sel][found[sel]].reshape(-1, int(kk))  # (B', kk)
+            ncent = cent_table[nbr]
+            w = np.float64(1.0) / int(kk)
+            mean = np.zeros((nbr.shape[0], d))
+            for m in range(int(kk)):
+                mean = mean + ncent[:, m, :] * w
+            mean = mean / int(kk)  # Q2: Σc/k²
+            var = np.zeros((nbr.shape[0], d))
+            for m in range(int(kk)):
+                diff = ncent[:, m, :] - mean
+                var = var + diff * diff * w
+            std = np.sqrt(var)
+            bw = 1.06 * std * np.float64(int(kk)) ** (-1.0 / (d + 1))
+            own = cent_table[cand_rows[sel]]
+            dens = np.zeros(nbr.shape[0])
+            for i in range(int(kk)):
+                difference = np.abs(own - ncent[:, i, :])
+                dens = dens + _product_cols(_kernel_raw(difference, bw)) * w
+            dens_out[sel] = dens
+    return dens_out, keep
+
+
+def _klome_scores(
+    dens_table: np.ndarray,
+    own_dens: np.ndarray,
+    posc: np.ndarray,
+    found: np.ndarray,
+) -> np.ndarray:
+    """Stage-2 KLOME (P9): (density - mean(knn dens)) / sqrt(Σ(x-mean)²)
+    with no /n (Q2); Double.MAX_VALUE when the 'stddev' is 0, including
+    the empty-lookup case (mean 0/0 -> NaN but var loop never runs)."""
+    counts = found.sum(axis=1)
+    klome = np.empty(len(own_dens))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for kk in np.unique(counts):
+            sel = counts == kk
+            if kk == 0:
+                klome[sel] = DOUBLE_MAX
+                continue
+            nbr = posc[sel][found[sel]].reshape(-1, int(kk))
+            nd = dens_table[nbr]
+            mean = np.zeros(nbr.shape[0])
+            for m in range(int(kk)):
+                mean = mean + nd[:, m]
+            mean = mean / np.float64(int(kk))
+            var = np.zeros(nbr.shape[0])
+            for m in range(int(kk)):
+                var = var + (nd[:, m] - mean) ** 2
+            std = np.sqrt(var)
+            ratio = (own_dens[sel] - mean) / std
+            klome[sel] = np.where(std == 0.0, DOUBLE_MAX, ratio)
+    return klome
+
+
+def _topn(
+    pids: np.ndarray,
+    klome: np.ndarray,
+    dens: np.ndarray,
+    feats: np.ndarray,
+    n: int,
+) -> List[Outlier]:
+    """Top-N lowest KLOME; ties broken by (klome, point_id) ascending
+    (documented deviation Q10); NaN sorts last (Java Double.compareTo)."""
+    if len(pids) == 0:
+        return []
+    nan_mask = np.isnan(klome)
+    sort_key = np.where(nan_mask, 0.0, klome)
+    order = np.lexsort((pids, sort_key, nan_mask.astype(np.int8)))[:n]
+    return [
+        Outlier(
+            rank=r + 1,
+            point_id=int(pids[i]),
+            klome=float(klome[i]),
+            density=float(dens[i]),
+            features=np.array(feats[i], dtype=np.float64),
+        )
+        for r, i in enumerate(order)
+    ]
+
+
+def _point_stage(
+    cand_pids: np.ndarray,
+    cand_X: np.ndarray,
+    surv_cids: np.ndarray,
+    surv_cent: np.ndarray,
+    surv_dens: np.ndarray,
+    k: int,
+    n: int,
+) -> List[Outlier]:
+    """P7+P8+P9 fused, array-native: candidate KNN -> mixed-store point
+    KDE -> KLOME top-N.  Semantics identical to the per-entry wrappers
+    below (which the unit suite pins); this is the engine's hot path."""
+    if len(cand_pids) == 0:
+        return []
+    knn = _knn_points_matrix(cand_pids, cand_X, surv_cids, surv_cent, k)
+
+    # PointDensityBuffer: union of candidate/cluster keys, cluster wins
+    # on collision (Q6: clusters are put after candidates)
+    keys = np.union1d(cand_pids, surv_cids)
+    m = len(keys)
+    d = cand_X.shape[1]
+    cent_table = np.zeros((m, d))
+    dens_table = np.zeros(m)
+    is_cluster = np.zeros(m, dtype=bool)
+    cpos = np.searchsorted(keys, cand_pids)
+    cent_table[cpos] = cand_X
+    if len(surv_cids):
+        spos = np.searchsorted(keys, surv_cids)
+        cent_table[spos] = surv_cent
+        dens_table[spos] = surv_dens
+        is_cluster[spos] = True
+
+    cand_mask = ~is_cluster[cpos]  # collided candidates are gone (Q6)
+    act_rows = cpos[cand_mask]
+    act_knn = knn[cand_mask]
+    act_pids = cand_pids[cand_mask]
+    act_X = cand_X[cand_mask]
+
+    dens_cand, keep = _point_densities(keys, cent_table, act_rows, act_knn)
+
+    # PointsWithDensities: dropped candidates vanish from the table
+    keep_key = np.ones(m, dtype=bool)
+    keep_key[act_rows[~keep]] = False
+    keys2 = keys[keep_key]
+    dens_table[act_rows] = dens_cand
+    dens2 = dens_table[keep_key]
+
+    act2_knn = act_knn[keep]
+    act2_pids = act_pids[keep]
+    act2_dens = dens_cand[keep]
+    act2_X = act_X[keep]
+    posc2, found2 = _resolve(keys2, act2_knn)
+    klome = _klome_scores(dens2, act2_dens, posc2, found2)
+    return _topn(act2_pids, klome, act2_dens, act2_X, n)
+
+
 def knn_points(
     candidates: "OrderedMap[int, np.ndarray]",
     survivors: "OrderedMap[int, WindowCluster]",
@@ -552,27 +809,20 @@ def knn_points(
 ) -> "OrderedMap[int, np.ndarray]":
     """K nearest *clusters* for each candidate point (not other points —
     README.md:169).  A cluster whose id equals the candidate's point id is
-    excluded (ownIndex, Q6).  Zero-padded like P3."""
-    cids = np.fromiter(survivors.keys(), dtype=np.int64)
+    excluded (ownIndex, Q6).  Zero-padded like P3.  (Dict-API wrapper over
+    the array-native kernel.)"""
+    pids = np.fromiter(candidates.keys(), dtype=np.int64, count=len(candidates))
+    cids = np.fromiter(survivors.keys(), dtype=np.int64, count=len(survivors))
+    if len(candidates) == 0:
+        return {}
+    X = np.stack([candidates[int(p)] for p in pids])
     cent = (
         np.stack([survivors[int(i)].centroid for i in cids])
         if len(cids)
-        else np.empty((0, 0))
+        else np.empty((0, X.shape[1]))
     )
-    out: OrderedMap[int, np.ndarray] = {}
-    for pid, x in candidates.items():
-        if len(cids):
-            mask = cids != pid
-            diff = cent[mask] - x
-            dists = np.sqrt((diff * diff).sum(axis=1))
-            order = np.argsort(dists, kind="stable")
-            sel = cids[mask][order][:k]
-        else:
-            sel = np.empty(0, dtype=np.int64)
-        knn = np.zeros(k, dtype=np.int64)
-        knn[: len(sel)] = sel
-        out[pid] = knn
-    return out
+    knn = _knn_points_matrix(pids, X, cids, cent, k)
+    return {int(p): knn[i] for i, p in enumerate(pids)}
 
 
 # ---------------------------------------------------------------------------
@@ -618,44 +868,38 @@ def estimate_point_densities(
             centroid=cl.centroid, density=cl.density, is_candidate=False
         )
 
+    keys = sorted(buffer)
+    keys_a = np.array(keys, dtype=np.int64)
+    cent_table = (
+        np.stack([buffer[key].centroid for key in keys])
+        if keys
+        else np.empty((0, 0))
+    )
+    cand_keys = [key for key in keys if buffer[key].is_candidate]
+    cand_rows = np.searchsorted(keys_a, np.array(cand_keys, dtype=np.int64))
+    width = max((len(buffer[key].knn_ids) for key in cand_keys), default=0)
+    knn_matrix = np.full((len(cand_keys), width), -1, dtype=np.int64)
+    for i, key in enumerate(cand_keys):
+        ids = np.asarray(buffer[key].knn_ids, dtype=np.int64)
+        knn_matrix[i, : len(ids)] = ids
+
+    dens, keep = _point_densities(keys_a, cent_table, cand_rows, knn_matrix)
+    dens_by_key = {
+        key: float(dens[i]) for i, key in enumerate(cand_keys) if keep[i]
+    }
+
     out: OrderedMap[int, MixedEntry] = {}
-    for key in sorted(buffer):
+    for key in keys:
         entry = buffer[key]
         if not entry.is_candidate:
             out[key] = entry
-            continue
-        knns = [
-            buffer[int(i)] for i in entry.knn_ids if int(i) in buffer
-        ]  # raw array incl. duplicate 0-padding (Q5)
-        if len(knns) <= 1:
-            continue  # dropped, not forwarded
-        k = len(knns)
-        d = len(knns[0].centroid)
-        w = np.float64(1.0) / k
-
-        mean = np.zeros(d)
-        for m in range(k):
-            mean = mean + knns[m].centroid * w
-        mean = mean / k  # Q2: Σc/k²
-
-        var = np.zeros(d)
-        for m in range(k):
-            diff = knns[m].centroid - mean
-            var = var + diff * diff * w
-        std = np.sqrt(var)
-        bw = 1.06 * std * np.float64(k) ** (-1.0 / (d + 1))
-
-        density = np.float64(0.0)
-        for i in range(k):
-            difference = np.abs(entry.centroid - knns[i].centroid)
-            density = density + _product(gaussian_kernel(difference, bw)) * w
-
-        out[key] = MixedEntry(
-            centroid=entry.centroid,
-            density=float(density),
-            is_candidate=True,
-            knn_ids=entry.knn_ids,
-        )
+        elif key in dens_by_key:
+            out[key] = MixedEntry(
+                centroid=entry.centroid,
+                density=dens_by_key[key],
+                is_candidate=True,
+                knn_ids=entry.knn_ids,
+            )
     return out
 
 
@@ -673,51 +917,24 @@ def point_pruning(
     (:76-78).  Top-N lowest scores win; ties broken by (klome, point_id)
     ascending — a documented deviation from the reference's unstable
     PriorityQueue (Q10).  NaN scores sort last (Java Double.compareTo)."""
-    pids: List[int] = []
-    klomes: List[float] = []
-    densities: List[float] = []
-    with np.errstate(divide="ignore", invalid="ignore"):
-        for key, entry in store.items():
-            if not entry.is_candidate:
-                continue
-            dens_list = [
-                store[int(i)].density
-                for i in entry.knn_ids
-                if int(i) in store
-            ]
-            mean = np.float64(0.0)
-            for dv in dens_list:
-                mean = mean + dv
-            mean = mean / np.float64(len(dens_list))  # 0/0 -> NaN
-            var = np.float64(0.0)
-            for dv in dens_list:
-                var = var + (np.float64(dv) - mean) ** 2
-            std = np.sqrt(var)
-            if float(std) == 0.0:
-                klome = DOUBLE_MAX
-            else:
-                klome = float((np.float64(entry.density) - mean) / std)
-            pids.append(key)
-            klomes.append(klome)
-            densities.append(entry.density)
-
-    if not pids:
+    keys = sorted(store)
+    keys_a = np.array(keys, dtype=np.int64)
+    dens_table = np.array([store[key].density for key in keys])
+    cand_keys = [key for key in keys if store[key].is_candidate]
+    if not cand_keys:
         return []
-    pid_a = np.array(pids, dtype=np.int64)
-    klome_a = np.array(klomes, dtype=np.float64)
-    nan_mask = np.isnan(klome_a)
-    sort_key = np.where(nan_mask, 0.0, klome_a)
-    order = np.lexsort((pid_a, sort_key, nan_mask.astype(np.int8)))[:n]
-    return [
-        Outlier(
-            rank=r + 1,
-            point_id=int(pid_a[i]),
-            klome=float(klome_a[i]),
-            density=float(densities[int(i)]),
-            features=store[int(pid_a[i])].centroid.copy(),
-        )
-        for r, i in enumerate(order)
-    ]
+    own_dens = np.array([store[key].density for key in cand_keys])
+    width = max(len(store[key].knn_ids) for key in cand_keys)
+    knn_matrix = np.full((len(cand_keys), width), -1, dtype=np.int64)
+    for i, key in enumerate(cand_keys):
+        ids = np.asarray(store[key].knn_ids, dtype=np.int64)
+        knn_matrix[i, : len(ids)] = ids
+    posc, found = _resolve(keys_a, knn_matrix)
+    klome = _klome_scores(dens_table, own_dens, posc, found)
+    feats = np.stack([store[key].centroid for key in cand_keys])
+    return _topn(
+        np.array(cand_keys, dtype=np.int64), klome, own_dens, feats, n
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -740,13 +957,32 @@ def window_pipeline(
     knn_clusters(window_clusters, k)
     survivors = estimate_cluster_densities(window_clusters)
     flags = prune_clusters(survivors, n)
-    candidates = filter_candidates(
-        point_ids, point_cluster_ids, point_features, flags
+
+    # P6 semi-join, vectorized: points whose assigned cluster is flagged
+    pids = np.asarray(point_ids, dtype=np.int64)
+    cids = np.asarray(point_cluster_ids, dtype=np.int64)
+    flagged = np.array(
+        sorted(c for c, f in flags.items() if f), dtype=np.int64
     )
-    cand_knn = knn_points(candidates, survivors, k)
-    mixed = estimate_point_densities(candidates, cand_knn, survivors)
-    outliers = point_pruning(mixed, n)
-    return outliers, flags, list(candidates.keys())
+    sel = np.isin(cids, flagged)
+    cand_pids = pids[sel]
+    cand_X = np.asarray(point_features, dtype=np.float64)[sel]
+    order = np.argsort(cand_pids, kind="stable")
+    cand_pids = cand_pids[order]
+    cand_X = cand_X[order] if cand_X.size else cand_X
+
+    surv_cids = np.fromiter(survivors.keys(), dtype=np.int64, count=len(survivors))
+    if len(surv_cids):
+        surv_cent = np.stack([survivors[int(c)].centroid for c in surv_cids])
+        surv_dens = np.array([survivors[int(c)].density for c in surv_cids])
+    else:
+        surv_cent = np.empty((0, cand_X.shape[1] if cand_X.size else 0))
+        surv_dens = np.empty(0)
+
+    outliers = _point_stage(
+        cand_pids, cand_X, surv_cids, surv_cent, surv_dens, k, n
+    )
+    return outliers, flags, [int(p) for p in cand_pids]
 
 
 # ---------------------------------------------------------------------------

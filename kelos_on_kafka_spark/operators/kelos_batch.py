@@ -303,10 +303,153 @@ def run_stage_a(points: DataFrame, cfg: KelosConfig = DEFAULT_CONFIG) -> DataFra
     contiguous, pane-ordered view of its shards; the mapInPandas iterator
     holds only one pane in memory at a time.
     """
+    # Hash repartition on shard: single-pass (repartitionByRange's
+    # sampler re-evaluates the whole upstream — incl. the feature UDF —
+    # once more, doubling e2e cost).  Balance comes from shards >>
+    # partitions (hash collisions average out); sortWithinPartitions
+    # gives the pane-ordered iterator the stage needs.
+    n_part = points.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return (
-        points.repartition("shard")
+        points.repartition(int(n_part), "shard")
         .sortWithinPartitions("shard", "pane_id", "point_id")
         .mapInPandas(_make_stage_a_fn(cfg), STAGE_A_SCHEMA)
+    )
+
+
+def _make_streamwise_fn(cfg: KelosConfig):
+    """Whole KELOS dataflow per shard inside one sorted pass: pane close ->
+    clustering -> window synthesis -> KNN/KDE/KLOME -> top-N, emitting
+    outlier rows directly.  One shuffle total (the shard sort), no
+    assignment explode, no cogroup — the right physical plan when
+    #shards >= #cores."""
+    pane_s = cfg.pane_seconds
+    panes = cfg.panes_per_window
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: Optional[core.ShardState] = None
+        ring: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        cur: Optional[Tuple[int, int]] = None
+        buf_ids: List[np.ndarray] = []
+        buf_X: List[np.ndarray] = []
+        out_frames: List[pd.DataFrame] = []
+
+        def close_pane() -> None:
+            nonlocal buf_ids, buf_X
+            shard, pane = cur
+            ids = (
+                np.concatenate(buf_ids) if buf_ids else np.empty(0, dtype=np.int64)
+            )
+            X = np.concatenate(buf_X) if buf_X else np.empty((0, 0))
+            buf_ids, buf_X = [], []
+            order = np.argsort(ids, kind="stable")
+            ids, X = ids[order], X[order]
+            assignments, pane_clusters = core.cluster_pane(
+                ids, X, state.carry, cfg.distance_threshold, cfg.k
+            )
+            window_clusters = core.aggregate_window(state, pane_clusters, panes)
+            state.carry = core.carry_from_window(window_clusters)
+            ring.append((ids, assignments, X))
+            if len(ring) > panes:
+                ring.pop(0)
+            w_ids = np.concatenate([a[0] for a in ring])
+            w_cids = np.concatenate([a[1] for a in ring])
+            w_X = (
+                np.concatenate([a[2] for a in ring if a[2].size])
+                if any(a[2].size for a in ring)
+                else np.empty((0, 0))
+            )
+            outliers, _f, _c = core.window_pipeline(
+                window_clusters, w_ids, w_cids, w_X, cfg.k, cfg.n
+            )
+            if outliers:
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "shard": np.int64(shard),
+                            "window_id": np.int64(pane),
+                            "window_start": pd.Timestamp(
+                                (pane + 1 - panes) * pane_s, unit="s"
+                            ),
+                            "window_end": pd.Timestamp(
+                                (pane + 1) * pane_s, unit="s"
+                            ),
+                            "rank": np.array(
+                                [o.rank for o in outliers], dtype=np.int32
+                            ),
+                            "point_id": np.array(
+                                [o.point_id for o in outliers], dtype=np.int64
+                            ),
+                            "klome": [o.klome for o in outliers],
+                            "density": [o.density for o in outliers],
+                            "features": [list(o.features) for o in outliers],
+                        }
+                    )
+                )
+
+        buf_ids = []
+        buf_X = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shards = pdf["shard"].to_numpy()
+            panes_col = pdf["pane_id"].to_numpy()
+            pids = pdf["point_id"].to_numpy(dtype=np.int64)
+            feats = np.stack(
+                [np.asarray(f, dtype=np.float64) for f in pdf["features"]]
+            )
+            change = np.nonzero(
+                (shards[1:] != shards[:-1]) | (panes_col[1:] != panes_col[:-1])
+            )[0]
+            starts = np.concatenate([[0], change + 1])
+            ends = np.concatenate([change + 1, [len(pdf)]])
+            for s, e in zip(starts, ends):
+                key = (int(shards[s]), int(panes_col[s]))
+                if cur is not None and key != cur:
+                    close_pane()
+                    if key[0] == cur[0]:
+                        pane = cur[1] + 1
+                        while pane < key[1]:
+                            cur = (key[0], pane)
+                            close_pane()
+                            pane += 1
+                    else:
+                        state = None
+                        ring.clear()
+                    cur = None
+                if cur is None:
+                    cur = key
+                    if state is None:
+                        state = core.ShardState()
+                buf_ids.append(pids[s:e])
+                buf_X.append(feats[s:e])
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)
+                out_frames = []
+        if cur is not None:
+            close_pane()
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return fn
+
+
+def detect_outliers_streamwise(
+    df: DataFrame,
+    cfg: KelosConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    features_col: str = "features",
+    shard_col: Optional[str] = None,
+) -> DataFrame:
+    """Flagship query, shard-streamwise physical plan (one shuffle; use
+    when #shards >= #cores — see detect_outliers for the window-parallel
+    plan used when shards are few)."""
+    points = prepare_points(df, cfg, id_col, ts_col, features_col, shard_col)
+    n_part = points.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        points.repartition(int(n_part), "shard")
+        .sortWithinPartitions("shard", "pane_id", "point_id")
+        .mapInPandas(_make_streamwise_fn(cfg), OUTLIER_SCHEMA)
     )
 
 

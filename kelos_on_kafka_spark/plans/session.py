@@ -24,6 +24,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Arrow-batched pandas stages allocate multi-MB buffers per batch;
+    # glibc's default 128 KiB mmap threshold makes every one a fresh
+    # mmap/munmap cycle, and the resulting guest page-fault storm
+    # serializes across workers (measured 11x per-worker slowdown at 32
+    # processes).  Raising the thresholds keeps freed blocks on the heap
+    # for reuse.  Must be set before the JVM starts — Python workers
+    # inherit the JVM's environment.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TOP_PAD_", "134217728")
     cpus = cpu_count()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -40,6 +50,9 @@ def get_spark(
         # (BASELINE.json input_hint).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # Smaller scan splits -> enough tasks to fill all cores even on
+        # moderate inputs (default 128 MiB gave 26 tasks for 32 cores).
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

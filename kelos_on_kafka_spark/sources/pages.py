@@ -100,3 +100,91 @@ def write_pages_parquet(spark, pdf: pd.DataFrame, path: str, partitions: int = 8
     to_spark_pages(spark, pdf).repartition(partitions).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def _gen_batch(ids, seed, pages_per_pane, pane_seconds, start_epoch, anomaly_rate):
+    """Generate one batch of pages; each page is a pure function of
+    (seed, id) so the table is identical under any partitioning."""
+    rows = []
+    kinds_p = [0.55, 0.25, 0.20 - anomaly_rate, anomaly_rate / 2, anomaly_rate / 2]
+    for i in ids:
+        rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + int(i)))
+        kind = KINDS[int(rng.choice(len(KINDS), p=kinds_p))]
+        text, links = _build_text(rng, kind)
+        anchors = " ".join(
+            f'<a href="/p/{i}/{j}">l{j}</a>' for j in range(links)
+        )
+        html = f"<html><body><p>{text}</p>{anchors}</body></html>".encode()
+        rows.append(
+            (
+                f"https://site-{int(i) % 997}.example.com/page/{i}",
+                start_epoch + (int(i) // pages_per_pane) * pane_seconds,
+                html,
+                text,
+                _LANGS[int(rng.integers(0, len(_LANGS)))],
+            )
+        )
+    return rows
+
+
+def synth_pages_spark(
+    spark,
+    n: int,
+    pages_per_pane: int,
+    seed: int = 42,
+    pane_seconds: int = 10,
+    start_epoch: int = 1_700_000_000,
+    anomaly_rate: float = 0.01,
+    partitions: int = 64,
+):
+    """Distributed deterministic page generation: each page is a pure
+    function of (seed, page id), generated in parallel with mapInPandas —
+    the scale path for large benchmark inputs (a 10^12-page table would be
+    generated exactly like this, partition by partition)."""
+    import pandas as pd_mod
+
+    from pyspark.sql import functions as F
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = _gen_batch(
+                pdf["id"].to_numpy(),
+                seed,
+                pages_per_pane,
+                pane_seconds,
+                start_epoch,
+                anomaly_rate,
+            )
+            out = pd_mod.DataFrame(rows, columns=cols)
+            out["warc_ts"] = pd_mod.to_datetime(out["warc_ts"], unit="s")
+            yield out
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema)
+    )
+
+
+def ensure_pages_parquet(
+    spark,
+    n: int,
+    path: str,
+    pages_per_pane: int,
+    seed: int = 42,
+    partitions: int = 64,
+) -> str:
+    """Generate-once cache of a synthetic page table as parquet."""
+    import os
+
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_pages_spark(
+            spark, n, pages_per_pane, seed=seed, partitions=partitions
+        ).write.mode("overwrite").parquet(path)
+    return path

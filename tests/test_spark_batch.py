@@ -63,6 +63,25 @@ def test_batch_engine_matches_oracle(spark, n_points, epw):
         assert got[w] == expected_nonempty[w], f"window {w} mismatch"
 
 
+def test_streamwise_plan_matches_window_parallel_plan(spark):
+    from kelos_on_kafka_spark.operators.kelos_batch import (
+        detect_outliers_streamwise,
+    )
+
+    pdf = gmm_points(n=900, seed=13, elements_per_window=600)
+    sdf = to_spark_points(spark, pdf)
+    a = detect_outliers(sdf, CFG).orderBy("window_id", "rank").collect()
+    b = (
+        detect_outliers_streamwise(sdf, CFG)
+        .orderBy("window_id", "rank")
+        .collect()
+    )
+    assert [(r.window_id, r["rank"], r.point_id, r.klome, r.density) for r in a] == [
+        (r.window_id, r["rank"], r.point_id, r.klome, r.density) for r in b
+    ]
+    assert len(a) > 0
+
+
 def test_batch_engine_sharding_isolates_streams(spark):
     # Two shards with identical data must produce identical, independent
     # results (per-shard sequential consistency).
