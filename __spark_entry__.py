@@ -185,6 +185,72 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probe_ids=list(range(20)), k=5)
 
 
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH buckets (rows-only:
+    the xxhash64-seeded hyperplanes are not reproducible in external SQL
+    engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        emb, probe_ids=list(range(20)), k=5, n_planes=4
+    )
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_hashes=8, shingle_words=3
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("minhash").alias("seed", "minhash")
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-dup candidate pairs (rows-only: band bucketing
+    uses Spark's murmur3)."""
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), n_hashes=16, shingle_words=3
+    )
+    return dedup.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only: xxhash64 token hashes)."""
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata plumbing: documents' text bytes stand in
+    for opaque media payloads."""
+    from kelos_on_kafka_spark.operators.multimodal import (
+        attach_media_metadata,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return attach_media_metadata(media).select(
+        "asset_id", "n_bytes", "checksum"
+    )
+
+
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image decode over binary payloads (mapInPandas plumbing);
+    width/height derive deterministically from sha256(payload), which the
+    DuckDB oracle reproduces."""
+    from kelos_on_kafka_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_image_features(media).select(
+        "asset_id", "width", "height"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -251,6 +317,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_flags": q_quality_flags,
         "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "minhash_sigs": q_minhash_sigs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_dims": q_multimodal_image_dims,
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "semi_join": q_semi_join,
@@ -419,6 +491,40 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT probe_id, rn AS rank, neighbor_id FROM r WHERE rn <= 5
+        """,
+        "minhash_sigs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            )
+            SELECT doc_id, s.seed,
+                   min(cast(concat('0x',
+                       substr(md5(concat(s.seed, ':', shingle)), 1, 15))
+                     AS BIGINT)) AS minhash
+            FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(seed)
+            GROUP BY doc_id, s.seed
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS asset_id,
+                   cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+        "multimodal_image_dims": """
+            SELECT doc_id AS asset_id,
+                   64 + cast(concat('0x', substr(sha256(text), 1, 2)) AS INT)
+                     AS width,
+                   64 + cast(concat('0x', substr(sha256(text), 3, 2)) AS INT)
+                     AS height
+            FROM documents
         """,
         "region_revenue": """
             SELECT r_name, count(*) AS n_orders,

@@ -83,6 +83,59 @@ def main() -> None:
     timings["kelos_outlier_rows"] = n_outliers
     pages.unpersist()
 
+    # --- streaming: p95 window-close latency -----------------------------
+    # One pane per micro-batch file; window-close latency ~= trigger
+    # execution time of the batch that closes it (watermark-driven).
+    import shutil
+    import tempfile
+
+    from kelos_on_kafka_spark.streaming.engine import kelos_stream
+    from kelos_on_kafka_spark.streaming.sink import write_outlier_stream
+
+    stream_pages = min(N_PAGES // 4, 60_000)
+    sp_pdf = synth_pages(
+        n=stream_pages,
+        seed=7,
+        pages_per_pane=max(stream_pages // 12, 1),
+        start_epoch=1_700_000_000,
+    )
+    base = tempfile.mkdtemp(prefix="kelos_bench_stream_")
+    src, sink_dir, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    os.makedirs(src)
+    per_file = max(len(sp_pdf) // 12, 1)
+    for i in range(0, len(sp_pdf), per_file):
+        to_spark_pages(spark, sp_pdf.iloc[i : i + per_file]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/f{i:08d}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    spts = featurize_pages(stream).select(
+        F.abs(F.xxhash64("url")).alias("id"),
+        F.col("warc_ts").alias("ts"),
+        "features",
+    )
+    q = write_outlier_stream(
+        kelos_stream(spts, KelosConfig(n=100)),
+        sink_dir,
+        ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    durations = sorted(
+        p["durationMs"].get("triggerExecution", 0)
+        for p in q.recentProgress
+    )
+    if durations:
+        p95 = durations[min(len(durations) - 1, int(0.95 * len(durations)))]
+        timings["stream_p95_window_close_ms"] = p95
+        timings["stream_batches"] = len(durations)
+    shutil.rmtree(base, ignore_errors=True)
+
     # --- driver-contract queries at SF_DIR ------------------------------
     qs = entry_mod.queries()
     bench_queries = [

@@ -1,0 +1,61 @@
+"""Physical-plan quality gates: predicate pushdown reaches the scans,
+relational queries stay JVM-side (no Python eval in the plan), small
+dimensions broadcast, and scans prune columns."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    plan = _plan(entry_mod.q_pricing_summary(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_relational_queries_have_no_python_stage(spark):
+    for name in [
+        "pane_agg",
+        "sliding_window",
+        "session_windows",
+        "topn_per_pane",
+        "interval_join",
+        "dedup_exact",
+        "token_stats",
+        "quality_flags",
+        "region_revenue",
+        "pricing_summary",
+        "semi_join",
+        "knn_cosine",
+        "minhash_sigs",
+        "simhash",
+    ]:
+        plan = _plan(entry_mod.queries()[name](spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_region_revenue_broadcasts_dimensions(spark):
+    plan = _plan(entry_mod.q_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_prunes_columns(spark):
+    # token_stats touches only (lang, text): the lineitem-wide documents
+    # scan must read exactly those
+    plan = _plan(entry_mod.q_token_stats(spark, SF))
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in scan and "lang" in scan
+    assert "source" not in scan and "n_chars" not in scan
+
+
+def test_whole_stage_codegen_present(spark):
+    # codegen'd spans print as "*(n) Operator" in the executed plan
+    plan = _plan(entry_mod.q_pane_agg(spark, SF))
+    assert "*(" in plan
