@@ -61,6 +61,33 @@ def q_kelos_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kelos_debug(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    from kelos_on_kafka_spark.operators.kelos_batch import kelos_debug_tables
+
+    cfg = KelosConfig(n=10)
+    pts = _kelos_points(spark, sf_dir, per_pane=100)
+    return kelos_debug_tables(pts, cfg)[which]
+
+
+def q_kelos_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point micro-cluster assignments (reference topic
+    cluster-assignments / AssignmentConsumer; rows-only)."""
+    return _kelos_debug(spark, sf_dir, "assignments")
+
+
+def q_kelos_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window cluster synopses with KDE densities, bounds and
+    pruning flags (reference topics clusters/densities/candidates;
+    rows-only)."""
+    return _kelos_debug(spark, sf_dir, "clusters")
+
+
+def q_kelos_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-candidate points after KLOME dominance pruning
+    (reference CandidatesConsumer; rows-only)."""
+    return _kelos_debug(spark, sf_dir, "candidates")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     cfg = KelosConfig(n=10)
@@ -306,6 +333,9 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kelos_topn": q_kelos_topn,
+        "kelos_assignments": q_kelos_assignments,
+        "kelos_clusters": q_kelos_clusters,
+        "kelos_candidates": q_kelos_candidates,
         "pane_agg": q_pane_agg,
         "sliding_window": q_sliding_window,
         "session_windows": q_session_windows,

@@ -40,6 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -451,6 +452,163 @@ def detect_outliers_streamwise(
         .sortWithinPartitions("shard", "pane_id", "point_id")
         .mapInPandas(_make_streamwise_fn(cfg), OUTLIER_SCHEMA)
     )
+
+
+CLUSTER_DEBUG_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("window_id", LongType()),
+        StructField("cluster_id", LongType()),
+        StructField("size", LongType()),
+        StructField("centroid", ArrayType(DoubleType())),
+        StructField("density", DoubleType()),
+        StructField("min_density_bound", DoubleType()),
+        StructField("max_density_bound", DoubleType()),
+        StructField("might_contain_outliers", BooleanType()),
+    ]
+)
+
+CANDIDATE_DEBUG_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("window_id", LongType()),
+        StructField("point_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_debug_window_fn(cfg: KelosConfig, which: str):
+    """Debug taps mirroring the reference's densities/candidates topics
+    (ClusterConsumer.java reads `densities`; CandidatesConsumer filters
+    flag=true — SURVEY.md §2.1 S4)."""
+
+    def fn(key, clusters_pdf, assigns_pdf):
+        shard, window_id = int(key[0]), int(key[1])
+        if clusters_pdf.empty:
+            schema = (
+                CLUSTER_DEBUG_SCHEMA if which == "clusters" else CANDIDATE_DEBUG_SCHEMA
+            )
+            return pd.DataFrame(columns=schema.fieldNames())
+        clusters_pdf = clusters_pdf.sort_values("cluster_id")
+        wcs: "core.OrderedMap[int, core.WindowCluster]" = {}
+        for row in clusters_pdf.itertuples(index=False):
+            cid = int(row.cluster_id)
+            wcs[cid] = core.WindowCluster(
+                cluster_id=cid,
+                size=int(row.size),
+                linear_sums=np.asarray(row.linear_sums, dtype=np.float64),
+                centroid=np.asarray(row.features, dtype=np.float64),
+                mins=np.asarray(row.mins, dtype=np.float64),
+                maxs=np.asarray(row.maxs, dtype=np.float64),
+            )
+        core.knn_clusters(wcs, cfg.k)
+        survivors = core.estimate_cluster_densities(wcs)
+        flags = core.prune_clusters(survivors, cfg.n)
+        if which == "clusters":
+            return pd.DataFrame(
+                {
+                    "shard": np.int64(shard),
+                    "window_id": np.int64(window_id),
+                    "cluster_id": np.array(list(survivors), dtype=np.int64),
+                    "size": np.array(
+                        [survivors[c].size for c in survivors], dtype=np.int64
+                    ),
+                    "centroid": [list(survivors[c].centroid) for c in survivors],
+                    "density": [survivors[c].density for c in survivors],
+                    "min_density_bound": [
+                        survivors[c].min_density_bound for c in survivors
+                    ],
+                    "max_density_bound": [
+                        survivors[c].max_density_bound for c in survivors
+                    ],
+                    "might_contain_outliers": [flags[c] for c in survivors],
+                }
+            )
+        # candidates
+        if assigns_pdf.empty:
+            return pd.DataFrame(columns=CANDIDATE_DEBUG_SCHEMA.fieldNames())
+        pids = assigns_pdf["point_id"].to_numpy(dtype=np.int64)
+        cids = assigns_pdf["p_cluster_id"].to_numpy(dtype=np.int64)
+        X = np.stack(
+            [np.asarray(f, dtype=np.float64) for f in assigns_pdf["p_features"]]
+        )
+        cands = core.filter_candidates(pids, cids, X, flags)
+        if not cands:
+            return pd.DataFrame(columns=CANDIDATE_DEBUG_SCHEMA.fieldNames())
+        return pd.DataFrame(
+            {
+                "shard": np.int64(shard),
+                "window_id": np.int64(window_id),
+                "point_id": np.array(list(cands), dtype=np.int64),
+                "features": [list(v) for v in cands.values()],
+            }
+        )
+
+    return fn
+
+
+def kelos_debug_tables(
+    df: DataFrame,
+    cfg: KelosConfig = DEFAULT_CONFIG,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    features_col: str = "features",
+    shard_col: Optional[str] = None,
+) -> dict:
+    """The reference's debug topic surfaces as DataFrames
+    (cluster-assignments / densities / candidates; SURVEY.md §2.1 S3-S4):
+    returns {'assignments': ..., 'clusters': ..., 'candidates': ...}."""
+    points = prepare_points(df, cfg, id_col, ts_col, features_col, shard_col)
+    stage_a = run_stage_a(points, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+
+    assignments = stage_a.filter(F.col("row_type") == "a").select(
+        "shard",
+        "pane_id",
+        F.col("point_id"),
+        F.col("cluster_id"),
+        F.col("features"),
+    )
+    wdf = stage_a.filter(F.col("row_type") == "w").select(
+        "shard",
+        F.col("pane_id").alias("window_id"),
+        "cluster_id",
+        "features",
+        "size",
+        "linear_sums",
+        "mins",
+        "maxs",
+    )
+    offsets = F.array(*[F.lit(i) for i in range(cfg.panes_per_window)])
+    adf = (
+        stage_a.filter(F.col("row_type") == "a")
+        .withColumn("off", F.explode(offsets))
+        .withColumn("window_id", F.col("pane_id") + F.col("off"))
+        .select(
+            "shard",
+            "window_id",
+            F.col("cluster_id").alias("p_cluster_id"),
+            "point_id",
+            F.col("features").alias("p_features"),
+        )
+    )
+    clusters = (
+        wdf.groupBy("shard", "window_id")
+        .cogroup(adf.groupBy("shard", "window_id"))
+        .applyInPandas(_make_debug_window_fn(cfg, "clusters"), CLUSTER_DEBUG_SCHEMA)
+    )
+    candidates = (
+        wdf.groupBy("shard", "window_id")
+        .cogroup(adf.groupBy("shard", "window_id"))
+        .applyInPandas(
+            _make_debug_window_fn(cfg, "candidates"), CANDIDATE_DEBUG_SCHEMA
+        )
+    )
+    return {
+        "assignments": assignments,
+        "clusters": clusters,
+        "candidates": candidates,
+    }
 
 
 def detect_outliers(

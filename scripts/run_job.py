@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the KELOS engine.
+
+Cluster deployment (north_rule):
+
+    zip -r kelos_on_kafka_spark.zip kelos_on_kafka_spark
+    spark-submit --py-files kelos_on_kafka_spark.zip \
+        scripts/run_job.py --mode stream \
+        --input s3://bucket/pages --output s3://bucket/outliers \
+        --checkpoint s3://bucket/ckpt --shards 4096
+
+Modes:
+  batch   — bounded replay over a page table, streamwise physical plan
+  stream  — Structured Streaming with watermarks + exactly-once sink
+  debug   — also write assignments/clusters/candidates debug tables
+
+Local smoke (what the sandbox runs):
+    spark-submit --master local[8] --py-files /tmp/kelos.zip \
+        scripts/run_job.py --mode batch --input /tmp/pages \
+        --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["batch", "stream", "debug"], default="batch")
+    ap.add_argument("--input", required=True, help="page table path (parquet/Iceberg)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None, help="required for stream mode")
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--top-n", type=int, default=100)
+    ap.add_argument("--watermark", default="10 seconds")
+    ap.add_argument("--max-files-per-trigger", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from kelos_on_kafka_spark.config import KelosConfig
+    from kelos_on_kafka_spark.functions.features import featurize_pages
+    from kelos_on_kafka_spark.operators.kelos_batch import (
+        detect_outliers_streamwise,
+        kelos_debug_tables,
+    )
+    from kelos_on_kafka_spark.streaming.engine import kelos_stream
+    from kelos_on_kafka_spark.streaming.sink import write_outlier_stream
+
+    spark = SparkSession.builder.appName("kelos-job").getOrCreate()
+    cfg = KelosConfig(n=args.top_n)
+
+    def to_points(pages):
+        return featurize_pages(pages).select(
+            F.abs(F.xxhash64("url")).alias("id"),
+            F.col("warc_ts").alias("ts"),
+            "features",
+            (F.abs(F.xxhash64("url")) % args.shards).alias("shard"),
+        )
+
+    if args.mode == "stream":
+        assert args.checkpoint, "--checkpoint required for stream mode"
+        pages = (
+            spark.readStream.format("parquet")
+            .schema(spark.read.parquet(args.input).schema)
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .load(args.input)
+        )
+        out = kelos_stream(
+            to_points(pages),
+            cfg,
+            shard_col="shard",
+            watermark_delay=args.watermark,
+        )
+        q = write_outlier_stream(out, args.output, args.checkpoint)
+        q.awaitTermination()
+    elif args.mode == "debug":
+        pages = spark.read.parquet(args.input)
+        tabs = kelos_debug_tables(to_points(pages), cfg, shard_col="shard")
+        for name, df in tabs.items():
+            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+    else:
+        pages = spark.read.parquet(args.input)
+        out = detect_outliers_streamwise(to_points(pages), cfg, shard_col="shard")
+        out.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,52 @@ def test_streamwise_plan_matches_window_parallel_plan(spark):
     assert len(a) > 0
 
 
+def test_debug_tables_match_oracle_intermediates(spark):
+    from kelos_on_kafka_spark.operators.kelos_batch import kelos_debug_tables
+
+    pdf = gmm_points(n=600, seed=42, elements_per_window=600)
+    feats = np.stack([np.asarray(f) for f in pdf["features"]])
+    oracle = core.run_stream(
+        pdf["id"].to_numpy(), pdf["ts"].to_numpy(), feats,
+        pane_seconds=10, panes_per_window=3,
+        threshold=0.25, k=20, n=20,
+    )
+    tabs = kelos_debug_tables(to_spark_points(spark, pdf), CFG)
+
+    # assignments: every point assigned once per pane, cluster ids match
+    arows = tabs["assignments"].collect()
+    assert len(arows) == len(pdf)
+
+    # clusters: densities/bounds/flags per window match the oracle
+    crows = tabs["clusters"].collect()
+    got = {
+        (r.window_id, r.cluster_id): (
+            r.size, r.density, r.min_density_bound,
+            r.max_density_bound, r.might_contain_outliers,
+        )
+        for r in crows
+    }
+    for res in oracle:
+        survivors = {
+            cid: wc
+            for cid, wc in res.window_clusters.items()
+            if cid in res.flags
+        }
+        for cid, wc in survivors.items():
+            assert got[(res.pane_id, cid)] == (
+                wc.size, wc.density, wc.min_density_bound,
+                wc.max_density_bound, res.flags[cid],
+            ), (res.pane_id, cid)
+
+    # candidates: the flagged-cluster semi-join matches
+    krows = tabs["candidates"].collect()
+    got_c = {}
+    for r in krows:
+        got_c.setdefault(r.window_id, set()).add(r.point_id)
+    for res in oracle:
+        assert got_c.get(res.pane_id, set()) == set(res.candidate_ids)
+
+
 def test_batch_engine_sharding_isolates_streams(spark):
     # Two shards with identical data must produce identical, independent
     # results (per-shard sequential consistency).

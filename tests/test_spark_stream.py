@@ -156,6 +156,53 @@ def test_stream_resume_from_checkpoint_exactly_once(spark, tmp_path):
     assert got == expected
 
 
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """The reference has no late-data handling (stream-time punctuation
+    only, SURVEY.md §2.2 P10); this engine defines it via the watermark:
+    a row arriving after its pane closed is dropped, and the output
+    equals the batch run WITHOUT that row (the parity contract is 'same
+    input stream + watermark')."""
+    full, _ = _fixture(n=300)
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _write_point_files(spark, full, src, n_files=2)
+
+    # run phase 1 so the watermark advances past pane 0
+    out = kelos_stream(_read_stream(spark, src), CFG)
+    q = write_outlier_stream(out, sink, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(300)
+
+    # a late row for pane 0 arrives after everything closed
+    late = pd.DataFrame(
+        {"id": [9_999_999], "ts": [EPOCH + 1.0], "features": [[0.0, 0.0]]}
+    )
+    spark.createDataFrame(
+        late, schema="id long, ts double, features array<double>"
+    ).select(
+        "id", F.timestamp_seconds("ts").alias("ts"), "features"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "part-late.parquet")
+    )
+    q2 = write_outlier_stream(
+        kelos_stream(_read_stream(spark, src), CFG),
+        sink,
+        ckpt,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(300)
+
+    got = sorted(
+        (r.window_id, r["rank"], r.point_id, r.klome)
+        for r in spark.read.parquet(sink).collect()
+        if r.window_id < MAX_REAL_WINDOW
+    )
+    # identical to the batch run WITHOUT the late row
+    expected = _batch_reference(spark, full)
+    assert got == expected
+    assert not any(pid == 9_999_999 for _, _, pid, _ in got)
+
+
 def test_stream_lineage_columns(spark, tmp_path):
     full, _ = _fixture(n=300)
     src = str(tmp_path / "src")
