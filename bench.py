@@ -23,10 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("KELOS_BENCH_PAGES", "120000"))
 # Shards = independent logical streams (the deployment unit of sequential
-# consistency).  Pages per pane is sized so each (shard, pane) holds
-# ~1000 points — the reference's elements-per-pane density
-# (InputProducer.java:25: 3000/window over 3 panes).
-N_SHARDS = int(os.environ.get("KELOS_BENCH_SHARDS", "8"))
+# consistency); shards >= 2x cores keeps the order-dependent clustering
+# stage balanced under hash partitioning.
+N_SHARDS = int(os.environ.get("KELOS_BENCH_SHARDS", str(2 * CPUS)))
 
 
 def _sf_label(path: str) -> float:
@@ -56,32 +55,39 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- flagship: end-to-end pages pipeline (throughput metric) --------
-    pages_pdf = synth_pages(
-        n=N_PAGES, seed=42, pages_per_pane=1000 * N_SHARDS
+    # parquet-backed input (Iceberg scan stand-in), generated once and
+    # cached under /tmp; streamwise plan over N_SHARDS logical streams.
+    from kelos_on_kafka_spark.operators.kelos_batch import (
+        detect_outliers_streamwise,
     )
-    pages = to_spark_pages(spark, pages_pdf).withColumn(
-        "shard", F.abs(F.xxhash64("url")) % N_SHARDS
-    )
-    pages = pages.repartition(CPUS).persist()
-    pages.count()  # materialize input outside the timed region
+    from kelos_on_kafka_spark.sources.pages import ensure_pages_parquet
 
+    pages_path = ensure_pages_parquet(
+        spark,
+        N_PAGES,
+        f"/tmp/kelos_bench_pages_{N_PAGES}",
+        pages_per_pane=max(N_PAGES // 15, 1),
+    )
+
+    def kelos_run():
+        pages = spark.read.parquet(pages_path)
+        pts = featurize_pages(pages).select(
+            F.abs(F.xxhash64("url")).alias("id"),
+            F.col("warc_ts").alias("ts"),
+            "features",
+            (F.abs(F.xxhash64("url")) % N_SHARDS).alias("shard"),
+        )
+        return detect_outliers_streamwise(
+            pts, KelosConfig(n=100), shard_col="shard"
+        ).count()
+
+    kelos_run()  # warm-up: JVM JIT, Python workers, OS page cache
     t0 = time.perf_counter()
-    feat = featurize_pages(pages)
-    pts = feat.select(
-        F.abs(F.xxhash64("url")).alias("id"),
-        F.col("warc_ts").alias("ts"),
-        "features",
-        "shard",
-    )
-    out = detect_outliers(
-        pts, KelosConfig(n=100), shard_col="shard"
-    )
-    n_outliers = out.count()
+    n_outliers = kelos_run()
     kelos_secs = time.perf_counter() - t0
     timings["kelos_pages_e2e"] = round(kelos_secs, 3)
     timings["kelos_pages_per_sec"] = round(N_PAGES / kelos_secs, 1)
     timings["kelos_outlier_rows"] = n_outliers
-    pages.unpersist()
 
     # --- streaming: p95 window-close latency -----------------------------
     # One pane per micro-batch file; window-close latency ~= trigger
