@@ -245,6 +245,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash16_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash with the md5-based portable token hash — fully
+    reproduced by the DuckDB oracle (per-bit majority in SQL)."""
+    return dedup.simhash64(
+        _t(spark, sf_dir, "documents"), n_bits=16, portable=True
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload metadata plumbing: documents' text bytes stand in
     for opaque media payloads."""
@@ -330,6 +338,39 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+# 16-bit SimHash oracle: per-bit majority vote over md5-hashed tokens,
+# generated programmatically (16 sum/CASE terms).
+_SIMHASH16_SQL = (
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(concat('0:', tok)), 1, 15))
+               AS BIGINT) AS h
+      FROM toks WHERE tok != ''
+    ), sums AS (
+      SELECT doc_id, count(*) AS n,
+    """
+    + ",\n".join(f"sum((h >> {b}) & 1) AS b{b}" for b in range(16))
+    + """
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, cast(
+    """
+    + " + ".join(
+        f"(CASE WHEN 2 * b{b} >= n THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    + """
+      AS BIGINT) AS simhash
+    FROM sums
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kelos_topn": q_kelos_topn,
@@ -351,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash16_portable": q_simhash16_portable,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_dims": q_multimodal_image_dims,
         "region_revenue": q_region_revenue,
@@ -542,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(seed)
             GROUP BY doc_id, s.seed
         """,
+        "simhash16_portable": _SIMHASH16_SQL,
         "multimodal_meta": """
             SELECT doc_id AS asset_id,
                    cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,

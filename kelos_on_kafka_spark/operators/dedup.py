@@ -167,24 +167,31 @@ def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, majority vote of token
-    hash bits.  Built-ins only (explode + bit ops + groupBy).
-    Returns (doc_id, simhash: long)."""
+    """SimHash over word tokens: per bit, majority vote of token hash
+    bits.  Built-ins only (explode + bit ops + groupBy).
+    Returns (doc_id, simhash: long).
+
+    ``portable=True`` switches the token hash from xxhash64 (fastest) to
+    the md5-based hash reproducible in external SQL engines (used by the
+    oracle-checked driver query with n_bits=16)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = _hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
+    hashed = toks.select("doc_id", h.alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     sim = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         sim = sim + F.when(
             2 * F.col(f"b{b}") >= F.col("n"),
             F.shiftleft(F.lit(1).cast("long"), b),
