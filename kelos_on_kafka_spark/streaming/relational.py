@@ -1,0 +1,105 @@
+"""Streaming relational operators — the engine's general CEP surface
+(north_rule: tumbling/sliding/session windows, watermarks, stateful
+join, exactly-once sink), expressed with Spark's built-in stateful
+operators so Catalyst owns the state management.
+
+These are thin, deliberate wrappers: the value is the declared
+semantics (watermark columns, output modes, join bounds) and the tests
+that pin them, not novel code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    pane: str = "10 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Tumbling-window counts/sums (append mode: a window emits once,
+    when the watermark passes its end)."""
+    keys = [F.window(F.col(ts_col), pane).alias("win")]
+    if key_col:
+        keys.append(F.col(key_col))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *([F.col(key_col)] if key_col else []),
+            "n_events",
+        )
+    )
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    size: str = "30 seconds",
+    slide: str = "10 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Sliding-window counts via Spark's native window duplication."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), size, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-key session windows with an inactivity gap; sessions emit once
+    closed (watermark-driven)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col), F.session_window(F.col(ts_col), gap).alias("sess")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval — the
+    stateful join whose state Spark evicts once the watermark passes the
+    bound (right_ts in [left_ts, left_ts + within])."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[left_key] == r[right_key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
