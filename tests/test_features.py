@@ -58,6 +58,33 @@ def test_anomalies_separate_in_feature_space():
     assert d_garb.min() > np.quantile(d_norm, 0.99)
 
 
+def test_jvm_featurizer_matches_pandas_featurizer(spark):
+    pdf = synth_pages(n=400, seed=17)
+    sdf = to_spark_pages(spark, pdf)
+    a = (
+        featurize_pages(sdf, jvm=True)
+        .select("url", "features")
+        .orderBy("url")
+        .collect()
+    )
+    b = (
+        featurize_pages(sdf, jvm=False)
+        .select("url", "features")
+        .orderBy("url")
+        .collect()
+    )
+    for ra, rb in zip(a, b):
+        assert tuple(ra.features) == tuple(rb.features), ra.url
+    # JVM variant has no Python stage in the plan
+    plan = (
+        featurize_pages(sdf, jvm=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+
+
 def test_spark_featurize_matches_local_and_is_order_stable(spark):
     pdf = synth_pages(n=300, seed=9)
     sdf = to_spark_pages(spark, pdf)
