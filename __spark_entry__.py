@@ -69,23 +69,46 @@ def _kelos_debug(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
     return kelos_debug_tables(pts, cfg)[which]
 
 
+def _per_dim(col: str, prefix: str) -> list:
+    """array<double> -> 4 scalar double columns.  The driver's
+    canonicalizer sorts raw column values, so driver-facing projections
+    must be scalar-only (lists are unhashable in pandas sort_values)."""
+    return [
+        F.element_at(F.col(col), i + 1).alias(f"{prefix}{i}") for i in range(4)
+    ]
+
+
 def q_kelos_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-point micro-cluster assignments (reference topic
-    cluster-assignments / AssignmentConsumer; rows-only)."""
-    return _kelos_debug(spark, sf_dir, "assignments")
+    cluster-assignments / AssignmentConsumer.java:58-75; rows-only)."""
+    return _kelos_debug(spark, sf_dir, "assignments").select(
+        "shard", "pane_id", "point_id", "cluster_id", *_per_dim("features", "f")
+    )
 
 
 def q_kelos_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-window cluster synopses with KDE densities, bounds and
-    pruning flags (reference topics clusters/densities/candidates;
-    rows-only)."""
-    return _kelos_debug(spark, sf_dir, "clusters")
+    pruning flags (reference topics densities/candidates,
+    ClusterConsumer.java:57-76; rows-only)."""
+    return _kelos_debug(spark, sf_dir, "clusters").select(
+        "shard",
+        "window_id",
+        "cluster_id",
+        "size",
+        *_per_dim("centroid", "c"),
+        "density",
+        "min_density_bound",
+        "max_density_bound",
+        "might_contain_outliers",
+    )
 
 
 def q_kelos_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier-candidate points after KLOME dominance pruning
-    (reference CandidatesConsumer; rows-only)."""
-    return _kelos_debug(spark, sf_dir, "candidates")
+    (reference CandidatesConsumer.java:61-85; rows-only)."""
+    return _kelos_debug(spark, sf_dir, "candidates").select(
+        "shard", "window_id", "point_id", *_per_dim("features", "f")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

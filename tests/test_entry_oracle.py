@@ -30,12 +30,20 @@ def ddb():
     con.close()
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Byte-compatible with the driver's _canon: sort columns by name,
+    then sort_values over the RAW values — array/map columns raise
+    TypeError here exactly like they do in the driver's gate."""
     df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = _driver_canon(df)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns), ignore_index=True)
+    return df
 
 
 def _values_equal(a, b) -> bool:
@@ -79,7 +87,11 @@ def test_rows_only_queries_run(spark):
     assert "kelos_topn" in names
     for name in names:
         df = entry_mod.queries()[name](spark, SF_DIR)
-        assert df.count() >= 0, name
+        pdf = df.toPandas()
+        assert len(pdf) >= 0, name
+        # the driver canonicalizes rows-only results too: every column
+        # must be scalar-sortable or the driver records an error
+        _driver_canon(pdf)
 
 
 def test_entry_smoke(spark):
