@@ -235,13 +235,19 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, probe_ids=list(range(20)), k=5)
 
 
+# Hyperplanes for the ANN driver query: md5-derived float constants,
+# embedded as literals in BOTH the Spark plan and the SQL oracle so the
+# bucketing (sign of an identical left-to-right multiply-add chain) is
+# bit-exact across engines.  64 = embeddings table dim.
+_KNN_PLANES = similarity.md5_planes(seed=41, n_planes=4, dim=64)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH buckets (rows-only:
-    the xxhash64-seeded hyperplanes are not reproducible in external SQL
-    engines)."""
+    """Approximate ANN via random-hyperplane LSH buckets (oracle-checked:
+    literal md5-derived hyperplanes reproduce the buckets in DuckDB)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(
-        emb, probe_ids=list(range(20)), k=5, n_planes=4
+        emb, probe_ids=list(range(20)), k=5, planes=_KNN_PLANES
     )
 
 
@@ -255,17 +261,23 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded near-dup candidate pairs (rows-only: band bucketing
-    uses Spark's murmur3)."""
+    """LSH-banded near-dup candidate pairs (oracle-checked: portable
+    banding buckets by md5 over the comma-joined band values)."""
     sigs = dedup.minhash_signatures(
         _t(spark, sf_dir, "documents"), n_hashes=16, shingle_words=3
     )
-    return dedup.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+    return dedup.lsh_candidate_pairs(
+        sigs, n_bands=4, rows_per_band=4, portable=True
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only: xxhash64 token hashes)."""
-    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+    """64-bit SimHash per document with the md5-portable token hash
+    (oracle-checked; the xxhash64 fast path stays in the library for
+    JVM-only deployments and is covered by pytest)."""
+    return dedup.simhash64(
+        _t(spark, sf_dir, "documents"), n_bits=64, portable=True
+    )
 
 
 def q_simhash16_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,10 +373,16 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
-# 16-bit SimHash oracle: per-bit majority vote over md5-hashed tokens,
-# generated programmatically (16 sum/CASE terms).
-_SIMHASH16_SQL = (
-    """
+# --- generated oracle SQL -------------------------------------------------
+
+
+def _simhash_sql(n_bits: int) -> str:
+    """SimHash oracle: per-bit majority vote over md5-hashed tokens,
+    generated programmatically (n_bits sum/CASE terms).  The portable
+    token hash has 60 bits, so bits 60..63 of the 64-bit variant are
+    always 0 in both engines (majority of zeros never sets a bit)."""
+    return (
+        """
     WITH toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -377,21 +395,112 @@ _SIMHASH16_SQL = (
     ), sums AS (
       SELECT doc_id, count(*) AS n,
     """
-    + ",\n".join(f"sum((h >> {b}) & 1) AS b{b}" for b in range(16))
-    + """
+        + ",\n".join(
+            f"sum((h >> {b}) & 1) AS b{b}" for b in range(min(n_bits, 60))
+        )
+        + """
       FROM h GROUP BY doc_id
     )
     SELECT doc_id, cast(
     """
-    + " + ".join(
-        f"(CASE WHEN 2 * b{b} >= n THEN {1 << b} ELSE 0 END)"
-        for b in range(16)
-    )
-    + """
+        + " + ".join(
+            f"(CASE WHEN 2 * b{b} >= n THEN {1 << b} ELSE 0 END)"
+            for b in range(min(n_bits, 60))
+        )
+        + """
       AS BIGINT) AS simhash
     FROM sums
 """
-)
+    )
+
+
+def _minhash_pairs_sql(
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> str:
+    """LSH-banded candidate pairs oracle: recompute the md5 minhash
+    signatures, bucket each band by md5 over the comma-joined band
+    values (string_agg ORDER BY seed == Spark's concat_ws over the
+    array slice), apply the same max_bucket skew guard, join within
+    buckets."""
+    seeds = ",".join(f"({s})" for s in range(n_hashes))
+    w = shingle_words - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - {w}, 1))) AS i
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, array_to_string(t[i:i+{w}], ' ') AS shingle
+      FROM idx
+      WHERE array_to_string(t[i:i+{w}], ' ') != ''
+    ), sig AS (
+      SELECT doc_id, s.seed,
+             min(cast(concat('0x',
+                 substr(md5(concat(s.seed, ':', shingle)), 1, 15))
+               AS BIGINT)) AS mh
+      FROM sh CROSS JOIN (VALUES {seeds}) AS s(seed)
+      GROUP BY doc_id, s.seed
+    ), bands AS (
+      SELECT doc_id, seed // {rows_per_band} AS band,
+             md5(string_agg(cast(mh AS VARCHAR), ',' ORDER BY seed))
+               AS bucket
+      FROM sig GROUP BY doc_id, seed // {rows_per_band}
+    ), sized AS (
+      SELECT doc_id, band, bucket FROM bands
+      QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+def _knn_lsh_sql(
+    planes: list[list[float]], k: int = 5, probe_max: int = 20
+) -> str:
+    """ANN-LSH oracle: the hyperplane components are the SAME float
+    literals the Spark plan uses (repr round-trips doubles exactly) and
+    the dot product is the same left-to-right add chain, so sign bits —
+    hence buckets — match bit-exactly.  Ranking mirrors knn_cosine."""
+
+    def dot(row):
+        return "0.0 + " + " + ".join(
+            f"v[{i + 1}] * ({c!r})" for i, c in enumerate(row)
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot(row)}) >= 0.0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, ({bucket}) AS bucket FROM c
+    ), p AS (
+      SELECT vec_id AS pid, v AS pv, bucket AS pb
+      FROM b WHERE vec_id < {probe_max}
+    ), s AS (
+      SELECT p.pid AS probe_id, b.vec_id AS neighbor_id,
+             list_dot_product(p.pv, b.v)
+             / (sqrt(list_dot_product(p.pv, p.pv))
+                * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM p JOIN b ON b.bucket = p.pb WHERE b.vec_id != p.pid
+    ), r AS (
+      SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT probe_id, rn AS rank, neighbor_id FROM r WHERE rn <= {k}
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -607,7 +716,12 @@ def oracle_sql() -> dict[str, str]:
             FROM sh CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS s(seed)
             GROUP BY doc_id, s.seed
         """,
-        "simhash16_portable": _SIMHASH16_SQL,
+        "simhash": _simhash_sql(64),
+        "simhash16_portable": _simhash_sql(16),
+        "minhash_lsh_pairs": _minhash_pairs_sql(
+            n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
+        ),
+        "knn_lsh": _knn_lsh_sql(_KNN_PLANES, k=5, probe_max=20),
         "multimodal_meta": """
             SELECT doc_id AS asset_id,
                    cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -87,24 +87,33 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band
     bucket.  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard —
-    logged cap, the scale-critical skew control)."""
+    logged cap, the scale-critical skew control).
+
+    ``portable=True`` buckets by md5 over the comma-joined band values
+    (reproducible in external SQL engines: md5(string_agg(...)));
+    default is Spark's murmur3 ``hash`` (faster, JVM-only)."""
+
+    def _bucket(b: int):
+        vals = [
+            F.element_at("minhash", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        if portable:
+            return F.md5(F.concat_ws(",", *[v.cast("string") for v in vals]))
+        return F.hash(*vals).cast("string")
+
     bands = signatures.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.element_at("minhash", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), _bucket(b).alias("bucket")
                     )
                     for b in range(n_bands)
                 ]

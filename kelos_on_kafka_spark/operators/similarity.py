@@ -9,8 +9,33 @@ bucket.  Integer-only ranking output keeps the DuckDB oracle exact.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+
+
+def md5_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplane matrix for LSH bucketing, derived from
+    md5 so the exact same float constants can be embedded as literals in
+    an external SQL oracle: component(p, i) = (h - 2^59) / 2^59 with h
+    the first 15 hex digits of md5(f"{seed}:{p}:{i}") — uniform in
+    [-1, 1).  Computed driver-side once (n_planes x dim doubles); the
+    data-side cost is just literal multiply-adds."""
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:15],
+                    16,
+                )
+                - 2**59
+            )
+            / 2**59
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def _dot(a, b):
@@ -78,11 +103,21 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 41,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane sign-bit bucketing; probes
     scan only their own bucket.  Hyperplanes are deterministic
     (hash-seeded per (plane, dim)), so the bucketing is reproducible.
-    At 100 TB this turns an O(N) probe scan into O(N / 2^n_planes)."""
+    At 100 TB this turns an O(N) probe scan into O(N / 2^n_planes).
+
+    ``planes``: explicit hyperplane matrix (e.g. from ``md5_planes``) —
+    components become float literals and the dot product an explicit
+    left-to-right multiply-add chain, so an external SQL oracle with the
+    same literals reproduces the buckets bit-exactly.  Default (None)
+    derives components from xxhash64 inside the plan (JVM-only but no
+    literal blow-up for very high dims)."""
+    if planes is not None:
+        n_planes = len(planes)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -97,18 +132,25 @@ def lsh_bucketed_topk(
     def bucket_of(vec):
         acc = F.lit(0).cast("long")
         for p in range(n_planes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda i: plane_component(p, i),
+            if planes is not None:
+                # explicit sequential chain: same float-op order as the
+                # generated SQL (Catalyst does not reassociate FP adds)
+                dot = F.lit(0.0)
+                for i, c in enumerate(planes[p]):
+                    dot = dot + F.element_at(vec, i + 1) * F.lit(float(c))
+            else:
+                dot = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(vec) - 1),
+                            lambda i: plane_component(p, i),
+                        ),
+                        lambda x, y: x * y,
                     ),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
             acc = acc + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         return acc
 
