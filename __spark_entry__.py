@@ -625,9 +625,12 @@ def oracle_sql() -> dict[str, str]:
               WHERE array_to_string(t[i:i+2], ' ') != ''
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), capped AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
             ), inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              FROM capped a JOIN capped b ON a.shingle = b.shingle
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2
             )

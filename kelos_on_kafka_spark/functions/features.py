@@ -48,13 +48,19 @@ _WS_TABLE[[9, 10, 11, 12, 13, 32]] = True  # ASCII whitespace
 
 
 def _batch_char_counts(texts: pd.Series):
-    """Vectorized per-row (digit chars, non-space chars, token count) via
+    """Vectorized per-row (digit chars, non-space CHARS, token count) via
     one byte-level scan of the whole batch: rows are joined with a single
     space (plus a leading one), boolean masks are cumsum'ed once, and
     per-row counts come from offset differences.  ~10x faster than
-    pandas ``str.count`` (regex findall per row).  Digit bytes are
-    unambiguous in UTF-8 (never continuation bytes); whitespace is ASCII
-    whitespace — the tokenizer this engine defines."""
+    pandas ``str.count`` (regex findall per row).
+
+    The counting contract is CHARACTER-based and matches the Catalyst
+    featurizer exactly: non-space chars = non-space bytes minus UTF-8
+    continuation bytes (0x80-0xBF, which are never ASCII whitespace and
+    never digits), so multi-byte characters count once — identical to
+    ``length(regexp_replace(t, '\\s', ''))``.  Whitespace is ASCII
+    whitespace (Java regex ``\\s``); tokens are maximal non-whitespace
+    runs, identical to ``filter(split(t, '\\s+'), x -> x != '')``."""
     bs = [s.encode("utf-8") for s in texts]
     n = len(bs)
     if n == 0:
@@ -69,11 +75,12 @@ def _batch_char_counts(texts: pd.Series):
 
     digit = (buf >= 48) & (buf <= 57)
     ws = _WS_TABLE[buf]
-    nonspace = ~ws
+    continuation = (buf & 0xC0) == 0x80
+    nonspace_char = ~ws & ~continuation
     prev_ws = np.empty_like(ws)
     prev_ws[0] = True
     prev_ws[1:] = ws[:-1]
-    token_start = nonspace & prev_ws
+    token_start = ~ws & prev_ws
 
     idx = np.empty(2 * n, dtype=np.int64)
     idx[0::2] = starts
@@ -85,7 +92,7 @@ def _batch_char_counts(texts: pd.Series):
         c[empty] = 0  # reduceat yields a[i] for empty segments
         return c.astype(np.float64)
 
-    return _per_row(digit), _per_row(nonspace), _per_row(token_start)
+    return _per_row(digit), _per_row(nonspace_char), _per_row(token_start)
 
 
 def _batch_pattern_counts(html: pd.Series, pat: bytes = b"<a ") -> np.ndarray:
@@ -166,24 +173,52 @@ def doc_features_pandas(text: pd.Series) -> pd.Series:
     the KDE bandwidth collapse to 0 and the reference semantics then
     yield NaN densities (GaussianKernel with h=0):
     [log10(1+chars)/2, mean_token_len/10, type_token_ratio, hapax_ratio].
+
+    Fully batch-vectorized: one explode of the batch's tokens (Python
+    ``str.split()`` semantics via pandas), one ``pd.factorize`` over ALL
+    tokens (C hash table), then bincount/unique over integer keys for
+    per-row token/type/hapax counts — token ``len()`` is called only
+    once per DISTINCT token in the batch.  No per-row Python loop.
     """
-    out = np.empty((len(text), FEATURE_DIM), dtype=np.float64)
-    for i, s in enumerate(text.fillna("")):
-        toks = s.split()
-        n = len(toks)
-        nc = len(s)
-        if n:
-            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            ttr = len(uniq) / n
-            hapax = float((counts == 1).sum()) / n
-            mwl = sum(map(len, toks)) / n
-        else:
-            ttr = hapax = mwl = 0.0
-        out[i, 0] = np.log10(1.0 + nc) / 2.0
-        out[i, 1] = mwl / 10.0
-        out[i, 2] = ttr
-        out[i, 3] = hapax
-    return pd.Series([list(row) for row in out])
+    t = text.fillna("").reset_index(drop=True).astype(str)
+    n_rows = len(t)
+    nc = t.str.len().to_numpy(dtype=np.float64)
+
+    ex = t.str.split().explode()
+    mask = ex.notna().to_numpy()
+    rows = ex.index.to_numpy()[mask].astype(np.int64)
+    toks = ex.to_numpy()[mask]
+
+    n_tok = np.bincount(rows, minlength=n_rows).astype(np.float64)
+    if len(toks):
+        codes, uniq = pd.factorize(toks)
+        ulen = np.fromiter(
+            (len(u) for u in uniq), dtype=np.float64, count=len(uniq)
+        )
+        sum_len = np.bincount(rows, weights=ulen[codes], minlength=n_rows)
+        # per-(row, token-type) occurrence counts via one integer unique
+        key = rows * np.int64(len(uniq)) + codes
+        ukey, kcounts = np.unique(key, return_counts=True)
+        urow = (ukey // np.int64(len(uniq))).astype(np.int64)
+        n_uniq = np.bincount(urow, minlength=n_rows).astype(np.float64)
+        n_hapax = np.bincount(
+            urow[kcounts == 1], minlength=n_rows
+        ).astype(np.float64)
+    else:
+        sum_len = np.zeros(n_rows)
+        n_uniq = np.zeros(n_rows)
+        n_hapax = np.zeros(n_rows)
+
+    safe_n = np.maximum(n_tok, 1.0)
+    has = n_tok > 0
+    mwl = np.where(has, sum_len / safe_n, 0.0)
+    ttr = np.where(has, n_uniq / safe_n, 0.0)
+    hapax = np.where(has, n_hapax / safe_n, 0.0)
+
+    mat = np.column_stack(
+        [np.log10(1.0 + nc) / 2.0, mwl / 10.0, ttr, hapax]
+    )
+    return pd.Series([list(row) for row in mat])
 
 
 @F.pandas_udf(ArrayType(DoubleType()))
@@ -240,10 +275,12 @@ def _features_expr(text_col: str, html_col: str | None):
     digits = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
     f3 = digits / safe * 10.0 / 4.0
 
-    trimmed = F.trim(t)
-    n_words = F.when(trimmed == "", F.lit(0.0)).otherwise(
-        F.size(F.split(trimmed, r"\s+")).cast("double")
-    )
+    # maximal non-whitespace runs: split keeps empty strings at
+    # whitespace-adjacent edges (tabs/newlines survive trim), so filter
+    # them out — exactly the byte tokenizer's token-start count
+    n_words = F.size(
+        F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    ).cast("double")
     n_nonspace = F.length(F.regexp_replace(t, r"\s", "")).cast("double")
     mean_wl = F.when(
         n_words > 0, n_nonspace / F.greatest(n_words, F.lit(1.0))

@@ -15,8 +15,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
+
+logger = logging.getLogger(__name__)
 
 
 def _shingles(text_col: str, n_words: int):
@@ -139,11 +143,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_words: int = 3,
     min_jaccard_pct: int = 10,
+    max_doc_freq: int = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (shingle-inverted-index join, never a cross join).  Integer-only
     output for engine-portable exactness:
-    (doc_a, doc_b, inter, union_n) with 100*inter >= min_pct*union_n."""
+    (doc_a, doc_b, inter, union_n) with 100*inter >= min_pct*union_n.
+
+    ``max_doc_freq`` caps the inverted index: a shingle present in more
+    than that many documents is dropped from the JOIN (a boilerplate
+    shingle in M docs would otherwise emit M^2/2 rows — the scale-killer
+    at 100 TB).  Per-doc shingle counts (the union term) still use the
+    full sets, so for surviving pairs inter is a lower bound that is
+    exact whenever no shared shingle exceeds the cap; pairs held
+    together ONLY by super-frequent boilerplate are suppressed, which is
+    the intended dedup semantics.  Set ``log_dropped=True`` to eagerly
+    count and log the dropped shingles (one extra small aggregate job) —
+    no silent caps."""
     sh = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -153,8 +170,23 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).where(F.col("df") <= max_doc_freq)
+    if log_dropped:
+        n_dropped = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .count()
+        )
+        logger.info(
+            "ngram_jaccard_pairs: dropped %d shingles with doc_freq > %d",
+            n_dropped,
+            max_doc_freq,
+        )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -7,11 +7,25 @@ import pytest
 
 from kelos_on_kafka_spark.functions.features import (
     FEATURE_DIM,
+    doc_features_pandas,
     extract_text_pandas,
     featurize_pages,
     page_features_pandas,
 )
 from kelos_on_kafka_spark.sources.pages import synth_pages, to_spark_pages
+
+EDGE_TEXTS = [
+    "héllo wörld",               # multi-byte chars: bytes != chars
+    "\thello\tworld\n",          # tab/newline edges survive trim()
+    "  a  b ",                   # repeated spaces
+    "",                          # empty
+    " \t\n ",                    # whitespace-only
+    "naïve café — ünïcode 123",  # mixed multi-byte + digits
+    "🙂 emoji 🙂🙂",             # 4-byte chars
+    "plain ascii words 42",
+    "trailing space ",
+    "\nleading",
+]
 
 
 def test_extract_text_is_pure_function_of_bytes():
@@ -83,6 +97,75 @@ def test_jvm_featurizer_matches_pandas_featurizer(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan
+
+
+def test_featurizer_parity_on_edge_texts(spark):
+    """JVM and Arrow featurizers agree on non-ASCII and whitespace-edged
+    text, not just single-space ASCII: the counting contract is
+    character-based with empty tokens dropped in BOTH paths."""
+    pdf = pd.DataFrame(
+        {"url": [f"u{i}" for i in range(len(EDGE_TEXTS))], "text": EDGE_TEXTS}
+    )
+    sdf = spark.createDataFrame(pdf)
+    a = (
+        featurize_pages(sdf, html_col=None, jvm=True)
+        .select("url", "features")
+        .orderBy("url")
+        .collect()
+    )
+    b = (
+        featurize_pages(sdf, html_col=None, jvm=False)
+        .select("url", "features")
+        .orderBy("url")
+        .collect()
+    )
+    for ra, rb in zip(a, b):
+        assert tuple(ra.features) == tuple(rb.features), (
+            ra.url,
+            ra.features,
+            rb.features,
+        )
+
+
+def _doc_features_reference(text: pd.Series) -> pd.Series:
+    """Original per-row implementation, kept as the parity oracle for the
+    vectorized doc_features_pandas."""
+    out = np.empty((len(text), FEATURE_DIM), dtype=np.float64)
+    for i, s in enumerate(text.fillna("")):
+        toks = s.split()
+        n = len(toks)
+        nc = len(s)
+        if n:
+            uniq, counts = np.unique(
+                np.array(toks, dtype=object), return_counts=True
+            )
+            ttr = len(uniq) / n
+            hapax = float((counts == 1).sum()) / n
+            mwl = sum(map(len, toks)) / n
+        else:
+            ttr = hapax = mwl = 0.0
+        out[i, 0] = np.log10(1.0 + nc) / 2.0
+        out[i, 1] = mwl / 10.0
+        out[i, 2] = ttr
+        out[i, 3] = hapax
+    return pd.Series([list(row) for row in out])
+
+
+def test_doc_features_vectorized_matches_reference():
+    texts = EDGE_TEXTS + [
+        "the the the the",                 # all-duplicate tokens
+        "one two three four five",         # all-hapax
+        "a a b b c",                        # mixed counts
+        "x",                                # single token
+    ]
+    pdf = synth_pages(n=300, seed=23)
+    series = pd.concat(
+        [pd.Series(texts), pdf["text"]], ignore_index=True
+    )
+    got = doc_features_pandas(series)
+    want = _doc_features_reference(series)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert tuple(g) == tuple(w), (i, series[i], g, w)
 
 
 def test_spark_featurize_matches_local_and_is_order_stable(spark):
