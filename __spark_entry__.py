@@ -321,6 +321,68 @@ def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents' text bytes standing in for opaque media payloads."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas row explosion with
+    lineage); the deterministic fake decoder slices the payload, so the
+    oracle reproduces each frame digest via substring math (documents
+    are ASCII: char offsets == byte offsets)."""
+    from kelos_on_kafka_spark.operators.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media(spark, sf_dir))
+    return frames.select(
+        "asset_id",
+        "frame_index",
+        "frame_ts_ms",
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode plumbing (deterministic sha256-derived fake):
+    sample rate / duration / sample count, integer-exact in SQL."""
+    from kelos_on_kafka_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    return extract_audio_features(_media(spark, sf_dir)).select(
+        "asset_id", "sample_rate", "duration_ms", "n_samples"
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.lang_guess("text").alias("lang_pred")
+    )
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-checkable projection of the streaming relational surface:
+    the SAME stream_tumbling_counts wrapper the streaming tests run
+    (withWatermark is a no-op in batch), window bounds emitted as
+    session-timezone-independent epoch microseconds."""
+    from kelos_on_kafka_spark.streaming import relational
+
+    ev = _t(spark, sf_dir, "events")
+    out = relational.stream_tumbling_counts(
+        ev, pane="1 hour", key_col="event_type"
+    )
+    return out.select(
+        windowing.epoch_us("window_start").alias("window_start_us"),
+        windowing.epoch_us("window_end").alias("window_end_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational surface over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -462,6 +524,40 @@ def _minhash_pairs_sql(
     """
 
 
+def _lang_guess_sql() -> str:
+    """Marker-word language guess, generated from the SAME marker table
+    the Spark operator uses (textstats.LID_MARKERS).  Occurrence counts
+    via non-overlapping left-to-right split in both engines; tie-break
+    priority = marker-table order."""
+    langs = list(textstats.LID_MARKERS)
+
+    def score(lang: str) -> str:
+        return " + ".join(
+            f"(len(string_split(p, ' {m} ')) - 1)"
+            for m in textstats.LID_MARKERS[lang]
+        )
+
+    sc = ",\n             ".join(f"({score(l)}) AS s_{l}" for l in langs)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cases = "\n                ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents
+    ), sc AS (
+      SELECT doc_id,
+             {sc}
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und'
+                {cases}
+                ELSE 'und' END AS lang_pred
+    FROM sc
+    """
+
+
 def _knn_lsh_sql(
     planes: list[list[float]], k: int = 5, probe_max: int = 20
 ) -> str:
@@ -527,6 +623,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16_portable": q_simhash16_portable,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_dims": q_multimodal_image_dims,
+        "video_frames": q_video_frames,
+        "audio_meta": q_audio_meta,
+        "lang_guess": q_lang_guess,
+        "stream_tumbling": q_stream_tumbling,
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "semi_join": q_semi_join,
@@ -738,6 +838,49 @@ def oracle_sql() -> dict[str, str]:
                    64 + cast(concat('0x', substr(sha256(text), 3, 2)) AS INT)
                      AS height
             FROM documents
+        """,
+        "video_frames": """
+            WITH n AS (
+              SELECT doc_id AS asset_id, text AS t,
+                     least(8, greatest(1, length(text) // 32)) AS nf
+              FROM documents
+            ), f AS (
+              SELECT asset_id, t,
+                     unnest(generate_series(0, nf - 1)) AS i
+              FROM n
+            )
+            SELECT asset_id,
+                   cast(i AS INT) AS frame_index,
+                   cast(i * 1000 AS BIGINT) AS frame_ts_ms,
+                   md5(substr(t, i * 32 + 1, 32)) AS frame_md5
+            FROM f
+        """,
+        "audio_meta": """
+            WITH d AS (SELECT doc_id AS asset_id, sha256(text) AS h
+                       FROM documents)
+            SELECT asset_id,
+                   cast(CASE cast(concat('0x', substr(h, 1, 2)) AS INT) % 4
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 22050 ELSE 44100 END AS INT)
+                     AS sample_rate,
+                   cast(100 + cast(concat('0x', substr(h, 3, 4)) AS INT)
+                     AS BIGINT) AS duration_ms,
+                   (cast(CASE cast(concat('0x', substr(h, 1, 2)) AS INT) % 4
+                         WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS BIGINT)
+                    * (100 + cast(concat('0x', substr(h, 3, 4)) AS BIGINT)))
+                        // 1000 AS n_samples
+            FROM d
+        """,
+        "lang_guess": _lang_guess_sql(),
+        "stream_tumbling": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                     AS window_start_us,
+                   (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000
+                     AS window_end_us,
+                   event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
         """,
         "region_revenue": """
             SELECT r_name, count(*) AS n_orders,

@@ -3,10 +3,10 @@ columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape,
 mapInPandas signatures — is real and tested; the actual media decoding
-is stubbed behind ``NotImplementedError`` / a deterministic fake because
-the image/audio libraries are not available in this container.  A
-deployment swaps ``_decode_image``/``_decode_audio`` for Pillow/ffmpeg
-calls without touching the plumbing.
+is a clearly-marked deterministic fake (pure function of the payload
+digest) because the image/audio libraries are not available in this
+container.  A deployment swaps ``_decode_image``/``_decode_audio`` for
+Pillow/ffmpeg calls without touching the plumbing.
 
 Design for 100 TB of media: payloads never leave the ``binary`` column
 until the per-partition decode stage (no shuffle of raw bytes — filters
@@ -79,12 +79,24 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, emb
 
 
-def _decode_audio(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
-    raise NotImplementedError(
-        "audio decode requires ffmpeg/librosa; not available in this "
-        "container — the mapInPandas plumbing below is the deployment "
-        "surface"
+_SAMPLE_RATES = (8000, 16000, 22050, 44100)
+
+
+def _decode_audio(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """STUB — replace with ffmpeg/librosa in deployment.
+
+    Deterministic fake mirroring ``_decode_image``: (sample_rate,
+    duration_ms, n_samples, 8-dim 'spectrum') derive purely from
+    sha256(payload), so the Arrow plumbing is exercised for real and a
+    SQL oracle reproduces the integers from the same digest."""
+    digest = hashlib.sha256(payload).digest()
+    sample_rate = _SAMPLE_RATES[digest[0] % 4]
+    duration_ms = 100 + (digest[1] << 8 | digest[2])
+    n_samples = sample_rate * duration_ms // 1000
+    spectrum = (
+        np.frombuffer(digest[3:11], dtype=np.uint8).astype(np.float64) / 255.0
     )
+    return sample_rate, duration_ms, n_samples, spectrum
 
 
 def attach_media_metadata(
@@ -128,6 +140,52 @@ def extract_image_features(
 
     return media.select(asset_col, payload_col).mapInPandas(
         decode, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("spectrum", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode + feature-extract audio partition-by-partition — same
+    plumbing contract as ``extract_image_features``: one Arrow exchange,
+    narrow typed output, payload bytes never shuffled."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            srs, durs, ns, specs = [], [], [], []
+            for payload in pdf[payload_col]:
+                sr, dur, n, spec = _decode_audio(bytes(payload))
+                srs.append(sr)
+                durs.append(dur)
+                ns.append(n)
+                specs.append(list(spec))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[asset_col].to_numpy(dtype=np.int64),
+                    "sample_rate": np.array(srs, dtype=np.int32),
+                    "duration_ms": np.array(durs, dtype=np.int64),
+                    "n_samples": np.array(ns, dtype=np.int64),
+                    "spectrum": specs,
+                }
+            )
+
+    return media.select(asset_col, payload_col).mapInPandas(
+        decode, AUDIO_FEATURES_SCHEMA
     )
 
 

@@ -69,7 +69,7 @@ def quality_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 # Tiny stopword inventories for a deterministic n-gram/stopword language
 # guess — a heuristic stand-in for fasttext-style LID, engine-portable.
-_LID_MARKERS = {
+LID_MARKERS = {
     "en": ["the", "and", "of", "is"],
     "de": ["der", "und", "die", "ist"],
     "fr": ["le", "et", "la", "est"],
@@ -85,12 +85,12 @@ def lang_guess(text_col: str = "text") -> Column:
 
     def score(lang: str) -> Column:
         s = F.lit(0)
-        for m in _LID_MARKERS[lang]:
+        for m in LID_MARKERS[lang]:
             # split-count word occurrences: size(split(padded, ' m ')) - 1
             s = s + F.size(F.split(padded, f" {m} ")) - 1
         return s
 
-    scores = [(lang, score(lang)) for lang in _LID_MARKERS]
+    scores = [(lang, score(lang)) for lang in LID_MARKERS]
     best = F.greatest(*[s for _, s in scores])
     guess = F.lit("und")
     for lang, s in reversed(scores):

@@ -84,6 +84,33 @@ def test_frame_sampling_lineage(spark, media):
         assert all(len(bytes(f.frame)) == 32 for f in fr)
 
 
-def test_audio_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        _decode_audio(b"\x00\x01")
+def test_audio_decode_is_deterministic_and_digest_derived():
+    sr, dur, n, spec = _decode_audio(b"\x00\x01")
+    assert (sr, dur, n) == _decode_audio(b"\x00\x01")[:3]
+    assert sr in (8000, 16000, 22050, 44100)
+    assert 100 <= dur <= 100 + 0xFFFF
+    assert n == sr * dur // 1000
+    assert len(spec) == 8 and all(0.0 <= v <= 1.0 for v in spec)
+    digest = hashlib.sha256(b"\x00\x01").digest()
+    assert sr == (8000, 16000, 22050, 44100)[digest[0] % 4]
+    assert dur == 100 + (digest[1] << 8 | digest[2])
+
+
+def test_extract_audio_features_plumbing(spark, media):
+    from kelos_on_kafka_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = extract_audio_features(media).orderBy("asset_id").collect()
+    assert len(out) == 20
+    for row in out:
+        payload = bytes(
+            hashlib.sha256(str(row.asset_id).encode()).digest() * 8
+        )
+        sr, dur, n, spec = _decode_audio(payload)
+        assert (row.sample_rate, row.duration_ms, row.n_samples) == (
+            sr,
+            dur,
+            n,
+        )
+        assert tuple(row.spectrum) == tuple(spec)
