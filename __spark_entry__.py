@@ -271,6 +271,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup group resolution: LSH candidate pairs ->
+    distributed connected components (min-label + pointer jumping) ->
+    (doc_id, group_id=keeper).  Oracle: recursive-CTE closure over the
+    same portable pairs."""
+    return dedup.near_dup_groups(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=16,
+        shingle_words=3,
+        n_bands=4,
+        rows_per_band=4,
+        portable=True,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document with the md5-portable token hash
     (oracle-checked; the xxhash64 fast path stays in the library for
@@ -476,22 +491,22 @@ def _simhash_sql(n_bits: int) -> str:
     )
 
 
-def _minhash_pairs_sql(
+def _minhash_pairs_ctes(
     n_hashes: int = 16,
     shingle_words: int = 3,
     n_bands: int = 4,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
 ) -> str:
-    """LSH-banded candidate pairs oracle: recompute the md5 minhash
-    signatures, bucket each band by md5 over the comma-joined band
-    values (string_agg ORDER BY seed == Spark's concat_ws over the
-    array slice), apply the same max_bucket skew guard, join within
-    buckets."""
+    """Shared CTE chain for the LSH-banded candidate-pair oracles:
+    recompute the md5 minhash signatures, bucket each band by md5 over
+    the comma-joined band values (string_agg ORDER BY seed == Spark's
+    concat_ws over the array slice), apply the same max_bucket skew
+    guard, join within buckets.  Ends with a ``pairs`` CTE of distinct
+    (doc_a, doc_b)."""
     seeds = ",".join(f"({s})" for s in range(n_hashes))
     w = shingle_words - 1
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
     ), idx AS (
@@ -517,10 +532,34 @@ def _minhash_pairs_sql(
     ), sized AS (
       SELECT doc_id, band, bucket FROM bands
       QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_pairs_sql(**kw) -> str:
+    return f"WITH {_minhash_pairs_ctes(**kw)}\nSELECT doc_a, doc_b FROM pairs"
+
+
+def _near_dup_groups_sql(**kw) -> str:
+    """Transitive near-dup groups oracle: candidate pairs -> undirected
+    edges -> recursive min-label closure (group_id = min doc_id in the
+    connected component), matching ``dedup.near_dup_groups``."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(**kw)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS v FROM edges
+    ), reach(v, l) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
-    WHERE a.doc_id < b.doc_id
+    SELECT v AS doc_id, min(l) AS group_id FROM reach GROUP BY v
     """
 
 
@@ -619,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_groups": q_near_dup_groups,
         "simhash": q_simhash,
         "simhash16_portable": q_simhash16_portable,
         "multimodal_meta": q_multimodal_meta,
@@ -822,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(64),
         "simhash16_portable": _simhash_sql(16),
         "minhash_lsh_pairs": _minhash_pairs_sql(
+            n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
+        ),
+        "near_dup_groups": _near_dup_groups_sql(
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
         "knn_lsh": _knn_lsh_sql(_KNN_PLANES, k=5, probe_max=20),

@@ -204,6 +204,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list, returning
+    ``(node_id, group_id)`` with group_id = min node id in the component
+    — the transitive closure a near-dup pipeline needs to pick one
+    keeper per duplicate GROUP rather than per pair.
+
+    Algorithm: iterative min-label propagation (hash-to-min) with a
+    pointer-jumping step per round — labels(v) <- min(label(v),
+    min_{u~v} label(u), label(label(v))) — which converges in
+    O(log diameter) rounds, each round two shuffles on the node key.
+    Iterations are bounded by ``max_iters`` and stop at the first
+    fixpoint (change count logged); every round persists the new label
+    table and unpersists the previous one, so memory is O(nodes)
+    regardless of round count.  No GraphFrames dependency."""
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    labels.count()
+
+    iters = 0
+    for it in range(max_iters):
+        iters = it + 1
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("a"), F.col("label").alias("albl")
+                ),
+                "a",
+            )
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("albl").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node", F.least("label", "nbr_min").alias("label")
+        )
+        # pointer jump: follow the label's own label one hop
+        ptr = stepped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["pnode"], "left")
+            .select("node", F.least("label", "plabel").alias("label"))
+            .persist()
+        )
+        changed = (
+            jumped.join(
+                labels.select(
+                    "node", F.col("label").alias("old_label")
+                ),
+                "node",
+            )
+            .where(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    logger.info(
+        "connected_components: fixpoint after %d/%d iterations",
+        iters,
+        max_iters,
+    )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("label").alias("group_id")
+    )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """End-to-end near-dup GROUP resolution: MinHash signatures -> LSH
+    candidate pairs -> connected components.  Returns (doc_id, group_id)
+    for every document that appears in at least one candidate pair;
+    group_id = min doc_id of the transitive group (the keeper).  This is
+    the operator a real dedup pipeline ships — pairs alone don't
+    deduplicate transitively."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_words=shingle_words
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, n_bands=n_bands, rows_per_band=rows_per_band, portable=portable
+    )
+    cc = connected_components(pairs)
+    return cc.select(F.col("node_id").alias("doc_id"), "group_id")
+
+
 def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,59 @@
+"""Connected-components group resolution: hand-built graphs (including a
+long chain, which exercises pointer jumping / O(log d) convergence) and
+the end-to-end near_dup_groups pipeline invariants."""
+
+import pandas as pd
+import pytest
+
+from kelos_on_kafka_spark.operators.dedup import (
+    connected_components,
+    near_dup_groups,
+)
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["doc_a", "doc_b"]).astype("int64")
+    )
+    rows = connected_components(df, **kw).collect()
+    return {r.node_id: r.group_id for r in rows}
+
+
+def test_cc_basic_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+
+
+def test_cc_long_chain_converges_logarithmically(spark):
+    # path 100-101-...-160: diameter 60, must converge well inside
+    # max_iters=10 thanks to the pointer-jumping step (2^10 >> 60)
+    edges = [(i, i + 1) for i in range(100, 160)]
+    got = _cc(spark, edges, max_iters=10)
+    assert set(got.values()) == {100}
+    assert len(got) == 61
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    a = _cc(spark, [(4, 2), (2, 9), (9, 4), (11, 10)])
+    assert a == {2: 2, 4: 2, 9: 2, 10: 10, 11: 10}
+
+
+def test_near_dup_groups_transitive_keeper(spark):
+    # A~B and B~C by heavy shingle overlap, but A and C differ more:
+    # group resolution must still put all three under keeper=min id
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    a = base + "alpha beta gamma delta"
+    b = base + "alpha beta gamma zeta"
+    c = base + "alpha theta iota zeta"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 99],
+                "text": [a, b, c, "completely unrelated content here"],
+            }
+        )
+    )
+    rows = near_dup_groups(docs, portable=True).collect()
+    got = {r.doc_id: r.group_id for r in rows}
+    assert got.get(10) == 10 and got.get(11) == 10 and got.get(12) == 10
+    assert 99 not in got  # no candidate pair -> not in the pair graph
