@@ -54,6 +54,31 @@ from pyspark.storagelevel import StorageLevel
 from kelos_on_kafka_spark import core
 from kelos_on_kafka_spark.config import DEFAULT_CONFIG, KelosConfig
 
+# Stage-A caches created by detect_outliers / kelos_debug_tables.  The
+# returned DataFrames are lazy, so the operators cannot unpersist before
+# the caller's action runs — callers own the lifecycle: call
+# release_persisted() (or spark.catalog.clearCache()) once results are
+# materialized, or repeated invocations in a long-lived session
+# accumulate cached partitions until storage eviction kicks in.
+_PERSISTED: list = []
+
+
+def _persist_stage(df: DataFrame) -> DataFrame:
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    return out
+
+
+def release_persisted() -> int:
+    """Unpersist every stage cache this module created; returns how many
+    were released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist(False)
+    _PERSISTED.clear()
+    return n
+
+
 STAGE_A_SCHEMA = StructType(
     [
         StructField("row_type", StringType()),  # 'a'=assignment, 'w'=window cluster
@@ -259,8 +284,8 @@ def _make_window_fn(cfg: KelosConfig):
             {
                 "shard": np.int64(shard),
                 "window_id": np.int64(window_id),
-                "window_start": pd.Timestamp(start_s, unit="s"),
-                "window_end": pd.Timestamp(end_s, unit="s"),
+                "window_start": pd.Timestamp(start_s, unit="s", tz="UTC"),
+                "window_end": pd.Timestamp(end_s, unit="s", tz="UTC"),
                 "rank": np.array([o.rank for o in outliers], dtype=np.int32),
                 "point_id": np.array(
                     [o.point_id for o in outliers], dtype=np.int64
@@ -369,10 +394,10 @@ def _make_streamwise_fn(cfg: KelosConfig):
                             "shard": np.int64(shard),
                             "window_id": np.int64(pane),
                             "window_start": pd.Timestamp(
-                                (pane + 1 - panes) * pane_s, unit="s"
+                                (pane + 1 - panes) * pane_s, unit="s", tz="UTC"
                             ),
                             "window_end": pd.Timestamp(
-                                (pane + 1) * pane_s, unit="s"
+                                (pane + 1) * pane_s, unit="s", tz="UTC"
                             ),
                             "rank": np.array(
                                 [o.rank for o in outliers], dtype=np.int32
@@ -560,7 +585,7 @@ def kelos_debug_tables(
     (cluster-assignments / densities / candidates; SURVEY.md §2.1 S3-S4):
     returns {'assignments': ..., 'clusters': ..., 'candidates': ...}."""
     points = prepare_points(df, cfg, id_col, ts_col, features_col, shard_col)
-    stage_a = run_stage_a(points, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    stage_a = _persist_stage(run_stage_a(points, cfg))
 
     assignments = stage_a.filter(F.col("row_type") == "a").select(
         "shard",
@@ -628,7 +653,7 @@ def detect_outliers(
     points = prepare_points(df, cfg, id_col, ts_col, features_col, shard_col)
     stage_a = run_stage_a(points, cfg)
     if persist_stage_a:
-        stage_a = stage_a.persist(StorageLevel.MEMORY_AND_DISK)
+        stage_a = _persist_stage(stage_a)
 
     wdf = stage_a.filter(F.col("row_type") == "w").select(
         "shard",

@@ -117,9 +117,9 @@ def _close_pane(
             "shard": np.int64(shard),
             "window_id": np.int64(pane),
             "window_start": pd.Timestamp(
-                (pane + 1 - cfg.panes_per_window) * pane_s, unit="s"
+                (pane + 1 - cfg.panes_per_window) * pane_s, unit="s", tz="UTC"
             ),
-            "window_end": pd.Timestamp((pane + 1) * pane_s, unit="s"),
+            "window_end": pd.Timestamp((pane + 1) * pane_s, unit="s", tz="UTC"),
             "rank": np.array([o.rank for o in outliers], dtype=np.int32),
             "point_id": np.array(
                 [o.point_id for o in outliers], dtype=np.int64

@@ -154,3 +154,34 @@ def test_batch_engine_sharding_isolates_streams(spark):
         by_shard[r.shard].append((r.window_id, r["rank"], r.point_id, r.klome))
     assert sorted(by_shard[0]) == sorted(by_shard[1])
     assert len(by_shard[0]) > 0
+
+
+def test_window_bounds_session_timezone_independent(spark):
+    """Window bounds cross the Arrow boundary as tz-aware UTC instants,
+    so a non-UTC session timezone must not shift the emitted epochs."""
+    from pyspark.sql import functions as F
+
+    pts = to_spark_points(
+        spark, gmm_points(n=300, seed=3, elements_per_window=100)
+    )
+
+    def bounds():
+        rows = (
+            detect_outliers(pts, CFG)
+            .select(
+                F.unix_micros("window_start").alias("s"),
+                F.unix_micros("window_end").alias("e"),
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted((r.s, r.e) for r in rows)
+
+    utc = bounds()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = bounds()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == shifted and len(utc) > 0
