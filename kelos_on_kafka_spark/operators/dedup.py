@@ -20,6 +20,8 @@ import logging
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from kelos_on_kafka_spark.plans.layout import fan_out
+
 logger = logging.getLogger(__name__)
 
 
@@ -71,7 +73,7 @@ def minhash_signatures(
     """MinHash signature per document: for each of ``n_hashes`` seeded
     hash functions, the minimum hash over the document's word shingles.
     Returns (doc_id, minhash: array<long>[n_hashes])."""
-    with_sh = df.select(
+    with_sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
     ).where(F.col("shingle") != "")
@@ -162,7 +164,7 @@ def ngram_jaccard_pairs(
     count and log the dropped shingles (one extra small aggregate job) —
     no silent caps."""
     sh = (
-        df.select(
+        fan_out(df).select(
             F.col(id_col).alias("doc_id"),
             F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
         )
@@ -325,7 +327,7 @@ def simhash64(
     ``portable=True`` switches the token hash from xxhash64 (fastest) to
     the md5-based hash reproducible in external SQL engines (used by the
     oracle-checked driver query with n_bits=16)."""
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")

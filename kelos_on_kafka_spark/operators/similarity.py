@@ -14,6 +14,8 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from kelos_on_kafka_spark.plans.layout import fan_out
+
 
 def md5_planes(seed: int, n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic hyperplane matrix for LSH bucketing, derived from
@@ -65,14 +67,21 @@ def cosine_topk(
     per-row dot/norm (codegen) -> window rank.  Returns
     (probe_id, rank, neighbor_id) — ranking by (cosine desc, neighbor_id)
     with the float kept internal so results are engine-exact."""
-    corpus = embeddings.select(
+    # norms are precomputed as columns: the naive form re-evaluates
+    # norm(vec) once per (probe, row) pair and norm(pvec) once per
+    # corpus row — x(probes+1) wasted interpreted HOF work.  The value
+    # is bit-identical (same sequential fold over the same vector), so
+    # oracle parity is unaffected.
+    corpus = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).withColumn("nrm", _norm(F.col("vec")))
     probes = corpus.where(
         F.col("neighbor_id").isin([int(p) for p in probe_ids])
     ).select(
-        F.col("neighbor_id").alias("probe_id"), F.col("vec").alias("pvec")
+        F.col("neighbor_id").alias("probe_id"),
+        F.col("vec").alias("pvec"),
+        F.col("nrm").alias("pnrm"),
     )
     joined = corpus.join(F.broadcast(probes)).where(
         F.col("neighbor_id") != F.col("probe_id")
@@ -82,7 +91,7 @@ def cosine_topk(
         "neighbor_id",
         (
             _dot(F.col("pvec"), F.col("vec"))
-            / (_norm(F.col("pvec")) * _norm(F.col("vec")))
+            / (F.col("pnrm") * F.col("nrm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -118,7 +127,7 @@ def lsh_bucketed_topk(
     literal blow-up for very high dims)."""
     if planes is not None:
         n_planes = len(planes)
-    corpus = embeddings.select(
+    corpus = fan_out(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
@@ -154,13 +163,16 @@ def lsh_bucketed_topk(
             acc = acc + F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
         return acc
 
-    bucketed = corpus.withColumn("bucket", bucket_of(F.col("vec")))
+    bucketed = corpus.withColumn("bucket", bucket_of(F.col("vec"))).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
     probes = bucketed.where(
         F.col("neighbor_id").isin([int(p) for p in probe_ids])
     ).select(
         F.col("neighbor_id").alias("probe_id"),
         F.col("vec").alias("pvec"),
         F.col("bucket").alias("pbucket"),
+        F.col("nrm").alias("pnrm"),
     )
     joined = bucketed.join(
         F.broadcast(probes), F.col("bucket") == F.col("pbucket")
@@ -170,7 +182,7 @@ def lsh_bucketed_topk(
         "neighbor_id",
         (
             _dot(F.col("pvec"), F.col("vec"))
-            / (_norm(F.col("pvec")) * _norm(F.col("vec")))
+            / (F.col("pnrm") * F.col("nrm"))
         ).alias("cosine"),
     )
     w = Window.partitionBy("probe_id").orderBy(
