@@ -42,7 +42,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _kelos_points(spark: SparkSession, sf_dir: str, per_pane: int) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    # small doc scans arrive as one partition; fan out so the Arrow
+    # feature UDF saturates the cores (no-op at real scale)
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     feats = docs.select(
         F.col("doc_id").alias("id"),
         F.timestamp_seconds(

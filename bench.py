@@ -153,9 +153,14 @@ def main() -> None:
         "interval_join",
         "dedup_exact",
         "ngram_jaccard",
+        "minhash_lsh_pairs",
+        "near_dup_groups",
+        "simhash",
         "token_stats",
         "quality_flags",
+        "lang_guess",
         "knn_cosine",
+        "knn_lsh",
         "region_revenue",
         "pricing_summary",
         "semi_join",

@@ -63,6 +63,69 @@ def parse_point_records(
     raise ValueError(f"unknown value_format: {value_format}")
 
 
+def serialize_point_records(
+    points: DataFrame, value_format: str = "json"
+) -> DataFrame:
+    """(id, ts, features) -> (key binary, value binary) ready for a
+    Kafka sink — the inverse of ``parse_point_records``, completing the
+    round-trip interop story (reference producer: InputProducer.java:31-73).
+
+    ``reference`` format writes the reference's own wire layout so this
+    engine can feed the reference's consumers: key = 4-byte big-endian
+    int32, value = concatenated 8-byte big-endian IEEE754 doubles
+    (raw bits preserved, so NaN payloads survive the round trip)."""
+    if value_format == "json":
+        return points.select(
+            F.encode(F.col("id").cast("string"), "utf-8").alias("key"),
+            F.encode(
+                F.to_json(F.struct(F.col("id"), F.col("features"))), "utf-8"
+            ).alias("value"),
+        )
+    if value_format == "reference":
+        # int -> big-endian bytes via hex/lpad/unhex; double -> raw bits
+        # via doubleToRawLongBits (hex of a negative long is already the
+        # 16-char two's complement)
+        return points.select(
+            F.unhex(
+                F.lpad(
+                    F.hex(
+                        F.col("id").cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+                    ),
+                    8,
+                    "0",
+                )
+            ).alias("key"),
+            F.expr(
+                "aggregate(transform(features, x -> unhex(lpad(hex("
+                "cast(java_method('java.lang.Double', 'doubleToRawLongBits', x)"
+                " as bigint)), 16, '0'))), cast('' as binary), "
+                "(acc, b) -> concat(acc, b))"
+            ).alias("value"),
+        )
+    raise ValueError(f"unknown value_format: {value_format}")
+
+
+def write_kafka_points(
+    points: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "data-input",
+    value_format: str = "json",
+    checkpoint_dir: str | None = None,
+):
+    """Produce points to a Kafka topic (plan-level only in this sandbox —
+    no broker; the serialization above carries the semantics and is
+    round-trip tested against ``parse_point_records``)."""
+    out = serialize_point_records(points, value_format)
+    writer = (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def read_kafka_points(
     spark: SparkSession,
     bootstrap_servers: str,
