@@ -255,6 +255,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within LSH buckets (synthetic
+    embeddings are random, so the driver threshold sits at the tail of
+    the cosine distribution rather than a production 0.95)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.35, planes=_KNN_PLANES
+    )
+
+
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         _t(spark, sf_dir, "documents"), n_hashes=8, shingle_words=3
@@ -398,6 +408,39 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowing.epoch_us("window_start").alias("window_start_us"),
         windowing.epoch_us("window_end").alias("window_end_us"),
         "event_type",
+        "n_events",
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows via Spark's native window duplication, same
+    wrapper the streaming path uses; 3h window sliding by 1h."""
+    from kelos_on_kafka_spark.streaming import relational
+
+    ev = _t(spark, sf_dir, "events")
+    out = relational.stream_sliding_counts(
+        ev, size="3 hours", slide="1 hour"
+    )
+    return out.select(
+        windowing.epoch_us("window_start").alias("window_start_us"),
+        windowing.epoch_us("window_end").alias("window_end_us"),
+        "n_events",
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows via Spark's session_window (the
+    streaming wrapper in batch); session end = last event + gap."""
+    from kelos_on_kafka_spark.streaming import relational
+
+    ev = _t(spark, sf_dir, "events")
+    out = relational.stream_session_windows(
+        ev, key_col="user_id", gap="30 minutes"
+    )
+    return out.select(
+        "user_id",
+        windowing.epoch_us("session_start").alias("session_start_us"),
+        windowing.epoch_us("session_end").alias("session_end_us"),
         "n_events",
     )
 
@@ -567,6 +610,41 @@ def _near_dup_groups_sql(**kw) -> str:
     """
 
 
+def _embedding_near_dups_sql(
+    planes: list[list[float]], threshold: float, max_bucket: int = 10000
+) -> str:
+    """Near-dup pairs oracle: same literal hyperplanes -> same buckets;
+    within-bucket pairs filtered by the identical cosine expression
+    (list_dot_product == the sequential fold; norms precomputed in both
+    engines)."""
+
+    def dot(row):
+        return "0.0 + " + " + ".join(
+            f"v[{i + 1}] * ({c!r})" for i, c in enumerate(row)
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN ({dot(row)}) >= 0.0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, ({bucket}) AS bucket,
+             sqrt(list_dot_product(v, v)) AS nrm
+      FROM c
+    ), sized AS (
+      SELECT vec_id, v, bucket, nrm FROM b
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= {max_bucket}
+    )
+    SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
+    FROM sized a JOIN sized bb ON a.bucket = bb.bucket
+    WHERE a.vec_id < bb.vec_id
+      AND list_dot_product(a.v, bb.v) / (a.nrm * bb.nrm) >= {threshold!r}
+    """
+
+
 def _lang_guess_sql() -> str:
     """Marker-word language guess, generated from the SAME marker table
     the Spark operator uses (textstats.LID_MARKERS).  Occurrence counts
@@ -660,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_groups": q_near_dup_groups,
@@ -671,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": q_audio_meta,
         "lang_guess": q_lang_guess,
         "stream_tumbling": q_stream_tumbling,
+        "stream_sliding": q_stream_sliding,
+        "stream_session": q_stream_session,
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "semi_join": q_semi_join,
@@ -872,6 +953,9 @@ def oracle_sql() -> dict[str, str]:
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
         "knn_lsh": _knn_lsh_sql(_KNN_PLANES, k=5, probe_max=20),
+        "embedding_near_dups": _embedding_near_dups_sql(
+            _KNN_PLANES, threshold=0.35
+        ),
         "multimodal_meta": """
             SELECT doc_id AS asset_id,
                    cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -928,6 +1012,43 @@ def oracle_sql() -> dict[str, str]:
                    event_type,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2, 3
+        """,
+        # Spark's sliding window(size=3h, slide=1h): event in pane p
+        # (1h panes) belongs to windows starting at p-2, p-1, p
+        "stream_sliding": """
+            WITH w AS (
+              SELECT ((epoch_us(ts) // 3600000000) - o.off) * 3600000000
+                       AS window_start_us
+              FROM events CROSS JOIN (VALUES (0),(1),(2)) AS o(off)
+            )
+            SELECT window_start_us,
+                   window_start_us + 3 * 3600000000 AS window_end_us,
+                   count(*) AS n_events
+            FROM w GROUP BY 1
+        """,
+        "stream_session": """
+            WITH ordered AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_us
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts_us,
+                     CASE WHEN prev_us IS NULL
+                               OR ts_us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ), sess AS (
+              SELECT user_id, ts_us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us) + 1800000000 AS session_end_us,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
         """,
         "region_revenue": """
             SELECT r_name, count(*) AS n_orders,

@@ -104,6 +104,93 @@ def cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 41,
+    planes: list[list[float]] | None = None,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: the dedup modality for
+    corpora where duplicates are semantic (same page re-rendered,
+    translated boilerplate) rather than textual.
+
+    Plan: LSH-bucket the corpus by hyperplane sign bits, all-pairs ONLY
+    within buckets (never a cross join; ``max_bucket`` guards degenerate
+    buckets like the banded-minhash path), cosine >= ``threshold``
+    filter with precomputed norms.  Returns (vec_a, vec_b) with
+    vec_a < vec_b.  Recall/cost trade-off is ``n_planes``: a candidate
+    pair lands in the same bucket with probability (1 - theta/pi)^planes.
+    ``planes`` (see ``md5_planes``) makes the bucketing SQL-reproducible."""
+    if planes is not None:
+        n_planes = len(planes)
+    corpus = fan_out(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def bucket_of(vec):
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            if planes is not None:
+                dot = F.lit(0.0)
+                for i, c in enumerate(planes[p]):
+                    dot = dot + F.element_at(vec, i + 1) * F.lit(float(c))
+            else:
+                dot = F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(vec) - 1),
+                            lambda i: (
+                                F.xxhash64(F.lit(f"{seed}:{p}"), i).cast(
+                                    "double"
+                                )
+                                / F.lit(float(2**63))
+                            ),
+                        ),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            acc = acc + F.when(
+                dot >= 0, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    bucketed = corpus.withColumn("bucket", bucket_of(F.col("vec"))).withColumn(
+        "nrm", _norm(F.col("vec"))
+    )
+    sized = bucketed.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+    ).where(F.col("n") <= max_bucket)
+    left = sized.select(
+        "bucket",
+        F.col("vid").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = sized.select(
+        "bucket",
+        F.col("vid").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(float(threshold))
+        )
+        .select("vec_a", "vec_b")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
