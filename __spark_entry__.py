@@ -234,6 +234,10 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_flags(_t(spark, sf_dir, "documents"))
 
 
+def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.stopword_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, probe_ids=list(range(20)), k=5)
@@ -252,6 +256,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_bucketed_topk(
         emb, probe_ids=list(range(20)), k=5, planes=_KNN_PLANES
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse cells, nprobe=2 probe scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, probe_ids=list(range(20)), k=5, n_cells=16, nprobe=2
     )
 
 
@@ -645,6 +657,32 @@ def _embedding_near_dups_sql(
     """
 
 
+def _stopword_stats_sql() -> str:
+    """Generated from the SAME stopword tuple the Spark operator uses."""
+    hits = " + ".join(
+        f"(len(string_split(p, ' {m} ')) - 1)"
+        for m in textstats.STOPWORDS_EN
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             concat(' ', lower(text), ' ') AS p,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+             END AS nt
+      FROM documents
+    ), h AS (
+      SELECT doc_id, nt, ({hits}) AS hits FROM s
+    )
+    SELECT doc_id,
+           cast(nt AS BIGINT) AS n_tokens,
+           cast(hits AS BIGINT) AS sw_hits,
+           cast(CASE WHEN nt > 0 THEN floor((100 * hits) / nt) ELSE 0 END
+                AS BIGINT) AS sw_ratio_x100
+    FROM h
+    """
+
+
 def _lang_guess_sql() -> str:
     """Marker-word language guess, generated from the SAME marker table
     the Spark operator uses (textstats.LID_MARKERS).  Occurrence counts
@@ -736,8 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "quality_flags": q_quality_flags,
+        "stopword_stats": q_stopword_stats,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -956,6 +996,44 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(
             _KNN_PLANES, threshold=0.35
         ),
+        "knn_ivf": """
+            WITH c AS (
+              SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(cast(embedding AS DOUBLE[]),
+                                           cast(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            ), cells AS (
+              SELECT vec_id AS cell_id, v AS cvec, nrm AS cnrm
+              FROM c WHERE vec_id < 16
+            ), ranked AS (
+              SELECT c.vec_id AS vid, c.v, c.nrm, cells.cell_id,
+                     row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.v, cells.cvec)
+                                / (c.nrm * cells.cnrm) DESC, cells.cell_id
+                     ) AS crn
+              FROM c CROSS JOIN cells
+            ), assigned AS (
+              SELECT vid AS neighbor_id, v, nrm, cell_id
+              FROM ranked WHERE crn = 1
+            ), pc AS (
+              SELECT vid AS probe_id, v AS pv, nrm AS pn,
+                     cell_id AS pcell
+              FROM ranked WHERE crn <= 2 AND vid < 20
+            ), s AS (
+              SELECT pc.probe_id, a.neighbor_id,
+                     list_dot_product(pc.pv, a.v) / (pc.pn * a.nrm) AS cosine
+              FROM pc JOIN assigned a ON a.cell_id = pc.pcell
+              WHERE a.neighbor_id != pc.probe_id
+            ), r AS (
+              SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cosine DESC, neighbor_id)
+                       AS rn
+              FROM s
+            )
+            SELECT probe_id, rn AS rank, neighbor_id FROM r WHERE rn <= 5
+        """,
         "multimodal_meta": """
             SELECT doc_id AS asset_id,
                    cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1004,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "lang_guess": _lang_guess_sql(),
+        "stopword_stats": _stopword_stats_sql(),
         "stream_tumbling": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000
                      AS window_start_us,

@@ -98,6 +98,44 @@ def lang_guess(text_col: str = "text") -> Column:
     return guess
 
 
+# Compact English stopword inventory for the ratio heuristic (corpus
+# quality filters typically threshold on stopword density; a fuller list
+# is a one-line swap).
+STOPWORDS_EN = (
+    "the", "and", "of", "is", "a", "to", "in", "it", "that", "for",
+)
+
+
+def stopword_hits(text_col: str = "text", stopwords=STOPWORDS_EN) -> Column:
+    """Total stopword occurrences (repeats counted) via the padded
+    split-count trick — pure built-ins, engine-portable."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    s = F.lit(0)
+    for m in stopwords:
+        s = s + F.size(F.split(padded, f" {m} ")) - 1
+    return s.cast("long")
+
+
+def stopword_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document stopword density, integer-exact:
+    (doc_id, n_tokens, sw_hits, sw_ratio_x100 = floor(100*hits/tokens)).
+    Low stopword density on natural-language text is a standard
+    machine-generated/garbage signal."""
+    nt = n_tokens(text_col)
+    hits = stopword_hits(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        nt.alias("n_tokens"),
+        hits.alias("sw_hits"),
+        F.when(nt > 0, F.floor((100 * hits) / nt))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sw_ratio_x100"),
+    )
+
+
 def corpus_stats_by_lang(
     df: DataFrame, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:

@@ -33,8 +33,18 @@ def test_relational_queries_have_no_python_stage(spark):
         "pricing_summary",
         "semi_join",
         "knn_cosine",
+        "knn_lsh",
+        "knn_ivf",
+        "embedding_near_dups",
         "minhash_sigs",
+        "minhash_lsh_pairs",
         "simhash",
+        "dedup_fingerprint",
+        "lang_guess",
+        "stopword_stats",
+        "stream_tumbling",
+        "stream_sliding",
+        "stream_session",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
