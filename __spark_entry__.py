@@ -238,6 +238,23 @@ def q_stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.stopword_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counts via the GPT-2-style pre-tokenizer pattern
+    (ASCII classes so Java regex and RE2 agree)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.n_bpe_ish_tokens("text").alias("n_bpe_tokens")
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints — any shared token run of length
+    >= window+shingle-1 between two docs shares a fingerprint."""
+    return dedup.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), shingle_words=3, window=4
+    )
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, probe_ids=list(range(20)), k=5)
@@ -775,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_flags": q_quality_flags,
         "stopword_stats": q_stopword_stats,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1083,6 +1102,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_guess": _lang_guess_sql(),
         "stopword_stats": _stopword_stats_sql(),
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text,
+                        '{textstats.BPE_ISH_PATTERN}')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "winnow_fingerprints": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), h AS (
+              SELECT doc_id, pos,
+                     cast(concat('0x',
+                         substr(md5(concat('0:', shingle)), 1, 15))
+                       AS BIGINT) AS h
+              FROM sh
+            )
+            SELECT DISTINCT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND 3 FOLLOWING) AS fp
+            FROM h
+        """,
         "stream_tumbling": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000
                      AS window_start_us,

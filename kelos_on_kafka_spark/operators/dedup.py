@@ -206,6 +206,41 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    al. SIGMOD 2003): hash every word ``shingle_words``-gram, slide a
+    ``window`` of consecutive shingle positions over the document, keep
+    the minimum hash of each window, dedupe — guarantees any shared run
+    of >= window+shingle_words-1 tokens between two documents shares a
+    fingerprint.  Returns distinct (doc_id, fp).
+
+    All built-ins: posexplode + portable md5 hash + min over a
+    ROWS-bounded window frame — one shuffle on doc_id, reproducible in
+    external SQL engines verbatim."""
+    sh = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_shingles(text_col, shingle_words)).alias(
+            "pos", "shingle"
+        ),
+    ).where(F.col("shingle") != "")
+    h = sh.select("doc_id", "pos", _hash64(F.col("shingle"), 0).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        h.select("doc_id", F.min("h").over(w).alias("fp"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

@@ -98,6 +98,23 @@ def lang_guess(text_col: str = "text") -> Column:
     return guess
 
 
+# GPT-2-style pre-tokenizer pattern restricted to ASCII classes so Java
+# regex (Spark) and RE2 (DuckDB) agree byte-for-byte: a token is an
+# optionally space-prefixed letter run, digit run, or punctuation run,
+# or a whitespace run.  Counting these approximates BPE token counts
+# (the pre-tokenization step is where the count structure comes from)
+# without shipping a vocab.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def n_bpe_ish_tokens(text_col: str = "text") -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    pattern (ASCII classes only, engine-portable)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("long")
+
+
 # Compact English stopword inventory for the ratio heuristic (corpus
 # quality filters typically threshold on stopword density; a fuller list
 # is a one-line swap).

@@ -57,3 +57,30 @@ def test_near_dup_groups_transitive_keeper(spark):
     got = {r.doc_id: r.group_id for r in rows}
     assert got.get(10) == 10 and got.get(11) == 10 and got.get(12) == 10
     assert 99 not in got  # no candidate pair -> not in the pair graph
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= window + shingle - 1 (= 6 here) share at least one fingerprint;
+    unrelated docs share none."""
+    from kelos_on_kafka_spark.operators.dedup import winnow_fingerprints
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "unique one two " + common + " tail here",
+                    "other prefix words " + common + " different ending",
+                    "wholly unrelated content nothing matches at all",
+                ],
+            }
+        )
+    )
+    rows = winnow_fingerprints(docs, shingle_words=3, window=4).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

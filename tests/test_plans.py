@@ -42,6 +42,8 @@ def test_relational_queries_have_no_python_stage(spark):
         "dedup_fingerprint",
         "lang_guess",
         "stopword_stats",
+        "bpe_token_count",
+        "winnow_fingerprints",
         "stream_tumbling",
         "stream_sliding",
         "stream_session",
