@@ -257,20 +257,22 @@ def connected_components(
     min_{u~v} label(u), label(label(v))) — which converges in
     O(log diameter) rounds, each round two shuffles on the node key.
     Iterations are bounded by ``max_iters`` and stop at the first
-    fixpoint (change count logged); every round persists the new label
-    table and unpersists the previous one, so memory is O(nodes)
-    regardless of round count.  No GraphFrames dependency."""
+    fixpoint (change count logged).  Every round eagerly
+    ``localCheckpoint``s the new label table: iterative self-joins
+    otherwise stack the whole history into one logical plan and
+    Catalyst analysis time grows super-linearly with rounds (on a real
+    cluster swap in ``checkpoint`` on reliable storage for fault
+    tolerance).  No GraphFrames dependency."""
     edges = pairs.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    edges = edges.persist()
+    edges = edges.localCheckpoint(True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .persist()
+        .localCheckpoint(True)
     )
-    labels.count()
 
     iters = 0
     for it in range(max_iters):
@@ -295,7 +297,7 @@ def connected_components(
         jumped = (
             stepped.join(ptr, stepped["label"] == ptr["pnode"], "left")
             .select("node", F.least("label", "plabel").alias("label"))
-            .persist()
+            .localCheckpoint(True)
         )
         changed = (
             jumped.join(
@@ -307,7 +309,6 @@ def connected_components(
             .where(F.col("label") != F.col("old_label"))
             .count()
         )
-        labels.unpersist()
         labels = jumped
         if changed == 0:
             break
@@ -316,7 +317,6 @@ def connected_components(
         iters,
         max_iters,
     )
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("group_id")
     )

@@ -84,3 +84,38 @@ def test_winnowing_shared_run_guarantee(spark):
         fps.setdefault(r.doc_id, set()).add(r.fp)
     assert fps[1] & fps[2], "shared run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: CC output equals a driver-side union-find on
+    deterministic pseudo-random edge sets of varying shape."""
+    import numpy as np
+
+    def union_find_groups(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = np.random.default_rng(77)
+    for n_nodes, n_edges in [(30, 20), (50, 80), (200, 120)]:
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(n_edges, 2))
+            if a != b
+        ]
+        if not edges:
+            continue
+        want = union_find_groups(edges)
+        got = _cc(spark, edges)
+        assert got == want, (n_nodes, n_edges)
