@@ -416,7 +416,9 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", textstats.lang_guess("text").alias("lang_pred")
     )
