@@ -338,6 +338,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole chunk bucketing + exact
+    popcount(xor) verification, hamming <= 3 over the portable 64-bit
+    simhash."""
+    return dedup.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, portable=True
+    )
+
+
 def q_simhash16_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash with the md5-based portable token hash — fully
     reproduced by the DuckDB oracle (per-bit majority in SQL)."""
@@ -804,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_groups": q_near_dup_groups,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "simhash16_portable": q_simhash16_portable,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_dims": q_multimodal_image_dims,
@@ -1006,6 +1016,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id, s.seed
         """,
         "simhash": _simhash_sql(64),
+        "simhash_near_dups": f"""
+            WITH sims AS ({_simhash_sql(64)}),
+            chunks AS (
+              SELECT doc_id, simhash, c.chunk,
+                     (simhash >> (c.chunk * 16)) & 65535 AS val
+              FROM sims CROSS JOIN (VALUES (0),(1),(2),(3)) AS c(chunk)
+            ), sized AS (
+              SELECT doc_id, simhash, chunk, val FROM chunks
+              QUALIFY count(*) OVER (PARTITION BY chunk, val) <= 10000
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM sized a JOIN sized b
+              ON a.chunk = b.chunk AND a.val = b.val
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         "simhash16_portable": _simhash_sql(16),
         "minhash_lsh_pairs": _minhash_pairs_sql(
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4

@@ -206,6 +206,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates by the pigeonhole trick
+    (split the 64-bit hash into ``max_hamming + 1`` chunks — two hashes
+    within ``max_hamming`` bits MUST agree on at least one chunk), then
+    exact verification via popcount(xor).  Returns (doc_a, doc_b,
+    hamming) with doc_a < doc_b.
+
+    Scale shape mirrors the banded-minhash path: shuffle only (chunk_id,
+    chunk_value) pairs, join within buckets, ``max_bucket`` guards
+    degenerate chunks (e.g. the all-zeros chunk of short docs)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sims = simhash64(df, id_col, text_col, n_bits=64, portable=portable)
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    sized = chunks.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("chunk", "val"))
+    ).where(F.col("n") <= max_bucket)
+    left = sized.select(
+        "chunk", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    right = sized.select(
+        "chunk", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    return (
+        left.join(right, ["chunk", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

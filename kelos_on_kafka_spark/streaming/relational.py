@@ -82,6 +82,23 @@ def stream_session_windows(
     )
 
 
+def stream_dedup_exact(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first occurrence of each
+    key; duplicate state is evicted once the watermark passes (bounded
+    state — the streaming counterpart of ``dedup.exact_dup_groups``'s
+    keeper selection).  Uses ``dropDuplicatesWithinWatermark`` so two
+    duplicates arriving within the watermark horizon dedupe even when
+    their event times differ."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

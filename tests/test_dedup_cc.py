@@ -119,3 +119,38 @@ def test_cc_matches_union_find_on_random_graphs(spark):
         want = union_find_groups(edges)
         got = _cc(spark, edges)
         assert got == want, (n_nodes, n_edges)
+
+
+def test_simhash_near_dups_pigeonhole_exactness(spark):
+    """Planted near-identical docs are found; reported hamming equals a
+    locally computed popcount(xor) of the portable simhashes; no pair
+    exceeds the bound."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    base = "quick brown fox jumps over lazy dog again and again " * 4
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    base + "ending one",
+                    base + "ending two",
+                    "totally different words everywhere nothing shared "
+                    "at all here believe me",
+                ],
+            }
+        )
+    )
+    pairs = simhash_near_dup_pairs(docs, max_hamming=6, portable=True).collect()
+    sims = {
+        r.doc_id: r.simhash
+        for r in simhash64(docs, portable=True).collect()
+    }
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert (1, 2) in got
+    for (a, b), h in got.items():
+        assert h == bin(sims[a] ^ sims[b]).count("1") and h <= 6
+    assert all(3 not in p for p in got)

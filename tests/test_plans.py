@@ -39,6 +39,7 @@ def test_relational_queries_have_no_python_stage(spark):
         "minhash_sigs",
         "minhash_lsh_pairs",
         "simhash",
+        "simhash_near_dups",
         "dedup_fingerprint",
         "lang_guess",
         "stopword_stats",

@@ -161,3 +161,31 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     )
     assert got == exp
     assert len(got) > 0
+
+
+def test_stream_dedup_exact_keeps_one_per_key(spark, tmp_path):
+    """Streaming dedup emits exactly one row per duplicate key (state
+    within the watermark horizon), matching batch dropDuplicates."""
+    src = str(tmp_path / "src_dd")
+    pdf = _event_files(spark, src, n=300, seed=9)
+    # duplicate keys: event_type repeats heavily; dedupe on (user_id,
+    # event_type) so every file adds duplicates of earlier keys
+    stream = R.stream_dedup_exact(
+        _stream(spark, src),
+        key_cols=["user_id", "event_type"],
+        watermark="1 hour",
+    ).select("user_id", "event_type")
+    got = sorted(
+        (r.user_id, r.event_type)
+        for r in _run(
+            spark, stream, str(tmp_path / "sink_dd"), str(tmp_path / "ckpt_dd")
+        ).collect()
+    )
+    exp = sorted(
+        (r.user_id, r.event_type)
+        for r in _batch(spark, pdf)
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .collect()
+    )
+    assert got == exp and len(got) > 0
