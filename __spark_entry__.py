@@ -537,6 +537,67 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+# ---------------------------------------------------------------------------
+# Explicit skew handling (plans/skew.py) — salted operators, each
+# result-identical to the plain relational query the oracle runs
+# ---------------------------------------------------------------------------
+
+
+def q_salted_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per lang via the two-phase salted top-n
+    (lang is a 4-value hot key — the worst-case distribution for a
+    window sort)."""
+    from kelos_on_kafka_spark.plans.skew import salted_topn
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_topn(
+        docs,
+        key_cols=["lang"],
+        order_col="n_chars",
+        n=3,
+        n_salts=8,
+        tiebreak_col="doc_id",
+    ).select("lang", "rank", "doc_id", "n_chars")
+
+
+def q_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem joined to a 3-row dim on l_returnflag (maximal key skew:
+    every row is one of 3 keys) through the salted replicate-join, then
+    aggregated — exactly what the plain join computes."""
+    from kelos_on_kafka_spark.plans.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", 1), ("N", 2), ("R", 3)], "l_returnflag string, mult int"
+    )
+    joined = salted_join(
+        li,
+        dim,
+        on=["l_returnflag"],
+        n_salts=16,
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity") * F.col("mult")).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("weighted_qty"),
+    )
+
+
+def q_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct token) per lang through the two-phase distinct
+    rewrite (dedup shuffle spreads the hot key over (lang, tok))."""
+    from kelos_on_kafka_spark.plans.skew import two_phase_distinct
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    return two_phase_distinct(toks, ["lang"], "tok", "n_distinct_tokens")
+
+
 # --- generated oracle SQL -------------------------------------------------
 
 
@@ -826,6 +887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "semi_join": q_semi_join,
+        "salted_topn_docs": q_salted_topn_docs,
+        "skew_join_agg": q_skew_join_agg,
+        "distinct_tokens": q_distinct_tokens,
     }
 
 
@@ -1235,5 +1299,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 100000
             )
+        """,
+        # the salted operators are result-identical to the plain query:
+        # the salt only spreads the shuffle, never the values
+        "salted_topn_docs": """
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents
+            )
+            SELECT lang, rank, doc_id, n_chars FROM r WHERE rank <= 3
+        """,
+        "skew_join_agg": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   cast(sum(cast(l_quantity * m.mult AS DECIMAL(18,2)))
+                     AS DOUBLE) AS weighted_qty
+            FROM lineitem
+            JOIN (VALUES ('A', 1), ('N', 2), ('R', 3))
+              AS m(l_returnflag, mult) USING (l_returnflag)
+            GROUP BY l_returnflag
+        """,
+        "distinct_tokens": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+              FROM documents
+            )
+            SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
+            FROM toks WHERE tok != '' GROUP BY lang
         """,
     }
