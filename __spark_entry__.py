@@ -329,6 +329,53 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING LSH near-dup: the documents table is streamed
+    as files through the real applyInPandasWithState query
+    (streaming/dedup_stream.py, availableNow trigger), pairs land in a
+    memory sink, and the distinct pair set is returned.  With every doc
+    inside the horizon this equals the batch banded pairs, so the
+    minhash_lsh_pairs oracle applies verbatim."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.dedup_stream import (
+        stream_near_dup_pairs,
+    )
+
+    src = tempfile.mkdtemp(prefix="sndp_src_")
+    # constant event time: no row can be late, every pair is in-horizon
+    _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1_000_000)).alias("ts"),
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    pairs = stream_near_dup_pairs(
+        stream,
+        horizon="1 day",
+        n_hashes=16,
+        shingle_words=3,
+        n_bands=4,
+        rows_per_band=4,
+        portable=True,
+    )
+    name = f"sndp_{uuid.uuid4().hex[:12]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("doc_a", "doc_b").distinct()
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document with the md5-portable token hash
     (oracle-checked; the xxhash64 fast path stays in the library for
@@ -872,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "stream_near_dups": q_stream_near_dups,
         "near_dup_groups": q_near_dup_groups,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1100,6 +1148,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash16_portable": _simhash_sql(16),
         "minhash_lsh_pairs": _minhash_pairs_sql(
+            n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
+        ),
+        # the streaming stateful query converges to the batch pair set
+        # when every doc is within the horizon (constant event time)
+        "stream_near_dups": _minhash_pairs_sql(
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
         "near_dup_groups": _near_dup_groups_sql(
