@@ -104,6 +104,35 @@ def cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 41,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer with distributed k-means
+    (pyspark.ml KMeans — kmeans|| init, Catalyst-side aggregation).
+    Returns the centroid matrix to pass to ``ivf_topk(centroids=...)``.
+
+    Training cost at scale is a few passes over a SAMPLE of the corpus
+    (pass ``embeddings.sample(...)``); the centroid table is tiny and
+    broadcast everywhere it is used."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(ds)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     probe_ids: list[int],
@@ -112,6 +141,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the second ANN scale path next to
     hyperplane LSH.  Coarse quantizer = the first ``n_cells`` corpus
@@ -127,11 +157,22 @@ def ivf_topk(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("nrm", _norm(F.col("vec")))
-    cells = corpus.where(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cell_id"),
-        F.col("vec").alias("cvec"),
-        F.col("nrm").alias("cnrm"),
-    )
+    if centroids is not None:
+        # trained quantizer (train_ivf_centroids): tiny literal table,
+        # broadcast below exactly like the deterministic default
+        cells = embeddings.sparkSession.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(centroids)
+            ],
+            "cell_id long, cvec array<double>",
+        ).withColumn("cnrm", _norm(F.col("cvec")))
+    else:
+        cells = corpus.where(F.col("vid") < n_cells).select(
+            F.col("vid").alias("cell_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
     scored_cells = corpus.join(F.broadcast(cells)).select(
         "vid",
         "vec",

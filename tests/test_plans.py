@@ -48,6 +48,9 @@ def test_relational_queries_have_no_python_stage(spark):
         "stream_tumbling",
         "stream_sliding",
         "stream_session",
+        "salted_topn_docs",
+        "skew_join_agg",
+        "distinct_tokens",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
