@@ -585,6 +585,56 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators (operators/temporal.py): as-of join + CEP sequences
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the most recent purchase at-or-before it
+    per user (as-of join; purchases pre-deduped per (user, ts) like any
+    ASOF engine requires).  Oracle: DuckDB's native ASOF JOIN."""
+    from kelos_on_kafka_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks,
+        purch,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_id"],
+        how="inner",
+    )
+    return out.select("click_id", "purchase_id")
+
+
+def q_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-consecutive click->purchase sequences per user within
+    1 day (the MATCH_RECOGNIZE core case; lag-chain plan, one window
+    pass)."""
+    from kelos_on_kafka_spark.operators.temporal import sequence_matches
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_matches(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        pattern=["click", "purchase"],
+        within_us=DAY_US,
+        id_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Explicit skew handling (plans/skew.py) — salted operators, each
 # result-identical to the plain relational query the oracle runs
 # ---------------------------------------------------------------------------
@@ -938,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_topn_docs": q_salted_topn_docs,
         "skew_join_agg": q_skew_join_agg,
         "distinct_tokens": q_distinct_tokens,
+        "asof_join": q_asof_join,
+        "cep_sequence": q_cep_sequence,
     }
 
 
@@ -1381,5 +1433,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
             FROM toks WHERE tok != '' GROUP BY lang
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id AS click_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'click'
+            ), purch AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     max(event_id) AS purchase_id
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, epoch_us(ts)
+            )
+            SELECT c.click_id, p.purchase_id
+            FROM clicks c ASOF JOIN purch p
+              ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+        """,
+        "cep_sequence": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+              FROM events
+            ), w AS (
+              SELECT user_id, event_id, ts_us, event_type,
+                     lag(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS prev_type,
+                     lag(event_id, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS prev_id,
+                     lag(ts_us, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_id) AS prev_ts
+              FROM e
+            )
+            SELECT user_id, prev_id AS start_id, event_id AS end_id,
+                   prev_ts AS start_ts_us, ts_us AS end_ts_us
+            FROM w
+            WHERE prev_type = 'click' AND event_type = 'purchase'
+              AND ts_us - prev_ts <= 86400000000
         """,
     }

@@ -164,6 +164,11 @@ def main() -> None:
         "region_revenue",
         "pricing_summary",
         "semi_join",
+        "salted_topn_docs",
+        "skew_join_agg",
+        "distinct_tokens",
+        "asof_join",
+        "cep_sequence",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -1,0 +1,153 @@
+"""Temporal operators: as-of join and sequence-pattern detection — the
+CEP surface beyond plain windows (north_rule: streaming/CEP engine).
+
+Both are single-shuffle plans: the as-of join is a union + one window
+pass (never a range self-join — at 10^12 rows a range join's
+per-key cross product is the bottleneck; the union-window form is
+O(n log n) per key and sorts once), and sequence detection is lag
+chains over the same per-key ordering.  Hot keys funnel through one
+task per key — at web scale the key is user/site-grained (millions of
+keys), so the skew guard is key granularity, not salting (a per-key
+total order cannot be salted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from kelos_on_kafka_spark.operators.windowing import epoch_us
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` per key (DuckDB/pandas ``ASOF JOIN``
+    semantics, inclusive).
+
+    Plan: tag both inputs, union, one window pass per key ordered by
+    (ts, side) carrying the last non-null right payload forward, keep
+    left rows.  Right rows must be unique per (key, right_ts) for a
+    deterministic result (pre-dedup with a groupBy if not — same rule
+    any ASOF engine imposes).
+
+    ``tolerance_us`` drops matches older than the given horizon.
+    ``how``: 'inner' keeps only matched left rows; 'left' keeps all
+    (right columns null when unmatched)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    payload = F.struct(
+        epoch_us(right_ts).alias("__rts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r = right.select(
+        *key_cols,
+        epoch_us(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *[F.col(c) for c in left_cols],
+        epoch_us(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    )
+    unioned = l.select(
+        *key_cols,
+        "__ts",
+        "__side",
+        "__payload",
+        F.struct(*[F.col(c) for c in left_cols]).alias("__left"),
+    ).unionByName(
+        r.withColumn(
+            "__left",
+            F.lit(None).cast(
+                l.select(
+                    F.struct(*[F.col(c) for c in left_cols]).alias("x")
+                ).schema["x"].dataType
+            ),
+        )
+    )
+    # right rows sort before left rows at equal ts (inclusive <=)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    ).where(F.col("__side") == 1)
+    if tolerance_us is not None:
+        carried = carried.withColumn(
+            "__match",
+            F.when(
+                F.col("__ts") - F.col("__match.__rts") <= F.lit(tolerance_us),
+                F.col("__match"),
+            ),
+        )
+    if how == "inner":
+        carried = carried.where(F.col("__match").isNotNull())
+    return carried.select(
+        *[F.col(f"__left.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+    )
+
+
+def sequence_matches(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: list[str],
+    within_us: int,
+    id_col: str,
+) -> DataFrame:
+    """Strictly-consecutive sequence detection per key: emit one row per
+    position where the last ``len(pattern)`` events (ordered by
+    (ts, id)) are exactly ``pattern`` and the whole run spans at most
+    ``within_us``.  Returns (key, start_id, end_id, start_ts_us,
+    end_ts_us).
+
+    This is the MATCH_RECOGNIZE core case (STRICT consecutive rows, no
+    quantifiers); gaps-allowed "followed by" composes from the interval
+    join (operators: stream_interval_join / q_interval_join)."""
+    n = len(pattern)
+    if n < 1:
+        raise ValueError("pattern must be non-empty")
+    df = events.select(
+        key_col,
+        F.col(id_col).alias("__id"),
+        epoch_us(ts_col).alias("__ts_us"),
+        F.col(type_col).alias("__type"),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__ts_us").asc(), F.col("__id").asc()
+    )
+    cond = F.lit(True)
+    for i, step in enumerate(reversed(pattern)):
+        cond = cond & (F.lag("__type", i).over(w) == F.lit(step))
+    span_ok = (
+        F.col("__ts_us") - F.lag("__ts_us", n - 1).over(w)
+    ) <= F.lit(within_us)
+    return (
+        df.withColumn("__hit", cond & span_ok)
+        .withColumn("__start_id", F.lag("__id", n - 1).over(w))
+        .withColumn("__start_ts", F.lag("__ts_us", n - 1).over(w))
+        .where(F.col("__hit"))
+        .select(
+            F.col(key_col),
+            F.col("__start_id").alias("start_id"),
+            F.col("__id").alias("end_id"),
+            F.col("__start_ts").alias("start_ts_us"),
+            F.col("__ts_us").alias("end_ts_us"),
+        )
+    )

@@ -113,6 +113,59 @@ def test_horizon_bounds_pairing(spark, tmp_path):
     assert pairs == {(1, 2)}
 
 
+def test_resume_from_checkpoint_exactly_once(spark, tmp_path):
+    """Restarting from the checkpoint must not re-emit pairs, and the
+    final pair set must equal the single-run (= batch) result."""
+    text = "resume one two three four five six seven"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [text] * 3,
+            "ts": pd.to_datetime([EPOCH, EPOCH + 5, EPOCH + 10], unit="s"),
+        }
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(rows, name):
+        spark.createDataFrame(
+            rows, schema="doc_id long, text string, ts timestamp"
+        ).coalesce(1).write.parquet(f"{src}/{name}.parquet")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*.parquet")
+        )
+        q = (
+            dedup_stream.stream_near_dup_pairs(stream, horizon="1 hour")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    write_file(pdf.iloc[:2], "f00")
+    run()  # phase 1: docs 1, 2 -> pair (1,2) per band
+    write_file(pdf.iloc[2:], "f01")
+    run()  # phase 2 resumes from checkpoint: doc 3 pairs with 1 and 2
+
+    rows = spark.read.parquet(sink).collect()
+    tagged = [(r["band"], r["doc_a"], r["doc_b"]) for r in rows]
+    assert len(tagged) == len(set(tagged))  # exactly-once per band-pair
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+
+
 def test_saturated_bucket_stops_emitting(spark, tmp_path):
     text = "one two three four five six seven eight"
     pdf = pd.DataFrame(

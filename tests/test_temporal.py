@@ -1,0 +1,138 @@
+"""Temporal operators (operators/temporal.py): as-of join semantics vs
+pandas merge_asof, and sequence-pattern detection goldens."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kelos_on_kafka_spark.operators import temporal
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = pd.DataFrame(
+        {
+            "sym": ["a", "a", "a", "b", "b", "c"],
+            "ts": pd.to_datetime([10, 25, 31, 5, 40, 7], unit="s"),
+            "trade_id": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": ["a", "a", "a", "b", "b"],
+            "ts": pd.to_datetime([5, 25, 30, 10, 38], unit="s"),
+            "px": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    return (
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        trades,
+        quotes,
+    )
+
+
+def _expected_asof(trades, quotes, tolerance=None):
+    kw = {"tolerance": pd.Timedelta(seconds=tolerance)} if tolerance else {}
+    m = pd.merge_asof(
+        trades.sort_values("ts"),
+        quotes.sort_values("ts"),
+        on="ts",
+        by="sym",
+        direction="backward",
+        allow_exact_matches=True,
+        **kw,
+    )
+    return {
+        int(r.trade_id): (None if pd.isna(r.px) else float(r.px))
+        for r in m.itertuples()
+    }
+
+
+def test_asof_left_matches_pandas(spark, trades_quotes):
+    st, sq, trades, quotes = trades_quotes
+    got = temporal.asof_join(
+        st, sq, ["sym"], "ts", "ts", ["px"], how="left"
+    ).collect()
+    want = _expected_asof(trades, quotes)
+    assert {r["trade_id"]: r["px"] for r in got} == want
+    assert len(got) == len(trades)
+
+
+def test_asof_inner_drops_unmatched(spark, trades_quotes):
+    st, sq, trades, quotes = trades_quotes
+    got = temporal.asof_join(
+        st, sq, ["sym"], "ts", "ts", ["px"], how="inner"
+    ).collect()
+    want = {
+        k: v for k, v in _expected_asof(trades, quotes).items() if v is not None
+    }
+    assert {r["trade_id"]: r["px"] for r in got} == want
+
+
+def test_asof_exact_timestamp_is_inclusive(spark, trades_quotes):
+    st, sq, *_ = trades_quotes
+    got = {
+        r["trade_id"]: r["px"]
+        for r in temporal.asof_join(
+            st, sq, ["sym"], "ts", "ts", ["px"], how="inner"
+        ).collect()
+    }
+    # trade 2 at t=25 matches quote at exactly t=25
+    assert got[2] == 2.0
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    st, sq, trades, quotes = trades_quotes
+    got = temporal.asof_join(
+        st,
+        sq,
+        ["sym"],
+        "ts",
+        "ts",
+        ["px"],
+        how="left",
+        tolerance_us=5_000_000,
+    ).collect()
+    want = _expected_asof(trades, quotes, tolerance=5)
+    assert {r["trade_id"]: r["px"] for r in got} == want
+
+
+def test_sequence_matches_golden(spark):
+    ev = pd.DataFrame(
+        {
+            "user": [1, 1, 1, 1, 2, 2, 2],
+            "ts": pd.to_datetime([10, 20, 30, 400, 10, 20, 21], unit="s"),
+            "typ": ["a", "b", "c", "c", "a", "b", "b"],
+            "eid": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    sdf = spark.createDataFrame(ev)
+    got = temporal.sequence_matches(
+        sdf, "user", "ts", "typ", ["a", "b", "c"], within_us=60_000_000,
+        id_col="eid",
+    ).collect()
+    # user 1: events 1,2,3 = a,b,c within 20 s -> one match; the later c
+    # (eid 4) is 380 s after b -> b,c,c never matches and a,b,c spans too
+    # long anyway.  user 2: a,b,b -> no match.
+    assert [(r["user"], r["start_id"], r["end_id"]) for r in got] == [
+        (1, 1, 3)
+    ]
+    assert got[0]["start_ts_us"] == 10_000_000
+    assert got[0]["end_ts_us"] == 30_000_000
+
+
+def test_sequence_single_step(spark):
+    ev = pd.DataFrame(
+        {
+            "user": [1, 1],
+            "ts": pd.to_datetime([10, 20], unit="s"),
+            "typ": ["x", "y"],
+            "eid": [1, 2],
+        }
+    )
+    got = temporal.sequence_matches(
+        spark.createDataFrame(ev), "user", "ts", "typ", ["y"],
+        within_us=10**9, id_col="eid",
+    ).collect()
+    assert [(r["start_id"], r["end_id"]) for r in got] == [(2, 2)]
