@@ -616,6 +616,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "purchase_id")
 
 
+def q_rollup_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup in ONE pass (hypertable-style
+    continuous-aggregate shape): event counts/sums at (day, hour) and
+    (day) via GROUPING SETS — Catalyst expands the sets inside a single
+    shuffle instead of two jobs; at scale this halves the scan cost of
+    maintaining coarser rollups."""
+    ev = _t(spark, sf_dir, "events").select(
+        windowing.pane_id("ts", 86400).alias("day_id"),
+        windowing.pane_id("ts", 3600).alias("hour_id"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["day_id", "hour_id"], ["day_id"]], "day_id", "hour_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        # the coarser set leaves hour_id null; emit -1 so the hash
+        # compare never sees nulls (same coalesce in the oracle)
+        .select(
+            "day_id",
+            F.coalesce(F.col("hour_id"), F.lit(-1)).alias("hour_id"),
+            "gid",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_cep_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-consecutive click->purchase sequences per user within
     1 day (the MATCH_RECOGNIZE core case; lag-chain plan, one window
@@ -990,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_tokens": q_distinct_tokens,
         "asof_join": q_asof_join,
         "cep_sequence": q_cep_sequence,
+        "rollup_panes": q_rollup_panes,
     }
 
 
@@ -1467,5 +1502,20 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE prev_type = 'click' AND event_type = 'purchase'
               AND ts_us - prev_ts <= 86400000000
+        """,
+        "rollup_panes": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 86400000000 AS day_id,
+                     epoch_us(ts) // 3600000000 AS hour_id,
+                     value
+              FROM events
+            )
+            SELECT day_id, coalesce(hour_id, -1) AS hour_id,
+                   grouping(day_id, hour_id) AS gid,
+                   count(*) AS n_events,
+                   cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM e
+            GROUP BY GROUPING SETS ((day_id, hour_id), (day_id))
         """,
     }

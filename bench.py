@@ -169,6 +169,7 @@ def main() -> None:
         "distinct_tokens",
         "asof_join",
         "cep_sequence",
+        "rollup_panes",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -51,6 +51,9 @@ def test_relational_queries_have_no_python_stage(spark):
         "salted_topn_docs",
         "skew_join_agg",
         "distinct_tokens",
+        "asof_join",
+        "cep_sequence",
+        "rollup_panes",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
