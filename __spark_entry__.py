@@ -716,6 +716,41 @@ def q_skew_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by portable md5 bucket
+    (stable under re-runs, repartitioning, and engines — the dataset
+    split a 10^12-doc pipeline can audit externally)."""
+    from kelos_on_kafka_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    ).select("doc_id", "split")
+
+
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang cap: at most 20 docs per language chosen by hash order
+    (the "max N pages per domain" pretraining balance op)."""
+    from kelos_on_kafka_spark.operators.sampling import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_cap(docs, ["lang"], "doc_id", n=20, seed=0).select(
+        "lang", "sample_rank", "doc_id"
+    )
+
+
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 20% document sample (membership = f(seed, doc_id) only)."""
+    from kelos_on_kafka_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.2, seed=3).select(
+        "doc_id", "lang"
+    )
+
+
 def q_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct token) per lang through the two-phase distinct
     rewrite (dedup shuffle spreads the hot key over (lang, tok))."""
@@ -1025,6 +1060,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "cep_sequence": q_cep_sequence,
         "rollup_panes": q_rollup_panes,
+        "hash_split": q_hash_split,
+        "stratified_cap": q_stratified_cap,
+        "det_sample": q_det_sample,
     }
 
 
@@ -1502,6 +1540,43 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE prev_type = 'click' AND event_type = 'purchase'
               AND ts_us - prev_ts <= 86400000000
+        """,
+        # portable md5 unit-hash: same first-15-hex-digit math as the
+        # Spark operators (operators/sampling.py), so split/sample
+        # membership is bit-identical
+        "hash_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(concat('0:',
+                       cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       / 1152921504606846976.0 AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN h < 0.8 THEN 'train'
+                        WHEN h < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "stratified_cap": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     cast(concat('0x', substr(md5(concat('0:',
+                       cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+              FROM documents
+            ), r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY hv, doc_id) AS sample_rank
+              FROM h
+            )
+            SELECT lang, sample_rank, doc_id FROM r WHERE sample_rank <= 20
+        """,
+        "det_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE cast(concat('0x', substr(md5(concat('3:',
+                    cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 < 0.2
         """,
         "rollup_panes": """
             WITH e AS (

@@ -1,0 +1,84 @@
+"""Deterministic sampling and dataset-split operators for
+training-data pipelines.
+
+Random sampling (``df.sample``/TABLESAMPLE) is nondeterministic across
+partitionings and engines; a 10^12-doc pipeline needs sampling that is
+(a) stable under re-runs, repartitions and backfills, (b) reproducible
+by an external auditor.  Everything here derives from the engine's
+portable md5 hash (``dedup._hash64``: first 15 hex digits of
+md5(seed || ':' || value) — 60 bits), uniform in [0, 2^60), so an
+external SQL engine reproduces every membership decision bit-exactly.
+
+All operators are pure Catalyst projections/filters/windows (no Python,
+no shuffle except the stratified cap's per-key window — which should be
+keyed at domain/lang granularity exactly like any per-key top-n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from kelos_on_kafka_spark.operators.dedup import _hash64
+
+_SCALE = float(2**60)
+
+
+def _unit_hash(col: Column, seed: int) -> Column:
+    """Deterministic uniform [0, 1) from a column value."""
+    return _hash64(col.cast("string"), seed) / F.lit(_SCALE)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep a stable ~``fraction`` of rows: membership depends only on
+    (seed, id), never on partitioning or engine.  Nested samples
+    compose: fraction 0.1 of the same seed is a superset of 0.05."""
+    return df.where(_unit_hash(F.col(id_col), seed) < F.lit(float(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …)
+    by cumulative hash bucket.  Weights must sum to ~1; the last split
+    absorbs rounding so every row is assigned."""
+    names = list(weights)
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += float(weights[name])
+        bounds.append((name, cum))
+    u = _unit_hash(F.col(id_col), seed)
+    # build the when-cascade from the last bound outward so the FIRST
+    # matching (smallest) bound wins
+    chain = F.lit(names[-1])
+    for name, bound in reversed(bounds):
+        chain = F.when(u < F.lit(bound), F.lit(name)).otherwise(chain)
+    return df.withColumn(out_col, chain)
+
+
+def stratified_cap(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap each key (domain, lang, source …) to at most ``n`` rows,
+    chosen by hash order — an unbiased per-key subsample that is stable
+    under re-runs and engine-portable (the pretraining "max N pages per
+    domain" balance op).  Adds ``sample_rank`` (1-based)."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        _hash64(F.col(id_col).cast("string"), seed).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )

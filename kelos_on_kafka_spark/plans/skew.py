@@ -90,13 +90,22 @@ def salted_join(
     n_salts: int = 16,
     salt_cols: list[str] | None = None,
     how: str = "inner",
+    strategy: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Inner/left join of a skewed big side against a small side,
     spreading each hot key across ``n_salts`` reducers: the big side is
     salted per row, the small side replicated once per salt value, and
-    the join key becomes (key..., salt).  The small side grows
-    ``n_salts``×, so keep ``n_salts * |small|`` broadcast-sized or
-    moderate.  Result is exactly ``big.join(small, on, how)``."""
+    the join key becomes (key..., salt).  Result is exactly
+    ``big.join(small, on, how)``.
+
+    ``strategy`` pins the physical join ('shuffle_hash' default): the
+    salt only helps on the SHUFFLE path — both sides exchange on
+    (key, salt), the hot key lands on n_salts reducers.  (If the small
+    side were broadcast-sized you would broadcast and skip salting
+    entirely; and a stats-less small side can otherwise bait Catalyst
+    into broadcasting the BIG side — observed with a createDataFrame
+    dim at bench scale.)  Pass ``strategy=None`` to let Catalyst/AQE
+    choose."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salted_big = with_salt(big, n_salts, salt_cols or on)
@@ -104,6 +113,8 @@ def salted_join(
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
+    if strategy:
+        replicated = replicated.hint(strategy)
     return salted_big.join(replicated, [*on, _SALT], how).drop(_SALT)
 
 

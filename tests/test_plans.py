@@ -54,6 +54,9 @@ def test_relational_queries_have_no_python_stage(spark):
         "asof_join",
         "cep_sequence",
         "rollup_panes",
+        "hash_split",
+        "stratified_cap",
+        "det_sample",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name

@@ -1,0 +1,79 @@
+"""Deterministic sampling operators (operators/sampling.py):
+partitioning-invariance, nesting, split totality, per-key caps."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kelos_on_kafka_spark.operators import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint(
+        True
+    )
+
+
+def test_sample_invariant_under_repartition(spark, docs):
+    a = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(docs, "doc_id", 0.3).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            docs.repartition(7, "lang"), "doc_id", 0.3
+        ).collect()
+    }
+    assert a == b
+    assert 0 < len(a) < docs.count()
+
+
+def test_samples_nest_by_fraction(spark, docs):
+    small = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            docs, "doc_id", 0.1, seed=5
+        ).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in sampling.deterministic_sample(
+            docs, "doc_id", 0.4, seed=5
+        ).collect()
+    }
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_hash_split_total_and_disjoint(spark, docs):
+    out = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = docs.count()
+    assert sum(counts.values()) == n  # every row assigned exactly once
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+    # roughly proportional (50 docs: generous tolerance)
+    assert counts["train"] / n > 0.6
+
+
+def test_stratified_cap_bounds_each_key(spark, docs):
+    out = sampling.stratified_cap(docs, ["lang"], "doc_id", n=5)
+    per_key = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 5 for r in per_key)
+    # stable under repartition
+    again = sampling.stratified_cap(
+        docs.repartition(9), ["lang"], "doc_id", n=5
+    )
+    key = lambda rows: sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"]) for r in rows
+    )
+    assert key(out.collect()) == key(again.collect())
