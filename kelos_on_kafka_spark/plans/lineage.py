@@ -85,6 +85,11 @@ class StreamMetricsRecorder(_listener.StreamingQueryListener):
                 "watermark": p.eventTime.get("watermark"),
                 "state_rows_total": state_rows,
                 "state_rows_updated": state_updated,
+                # df.observe(...) metrics, keyed by observation name
+                "observed": {
+                    k: dict(v.asDict())
+                    for k, v in (p.observedMetrics or {}).items()
+                },
             }
         )
 

@@ -108,10 +108,21 @@ def stream_interval_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval — the
+    """Stream-stream join bounded by an event-time interval — the
     stateful join whose state Spark evicts once the watermark passes the
-    bound (right_ts in [left_ts, left_ts + within])."""
+    bound (right_ts in [left_ts, left_ts + within]).
+
+    ``how='leftOuter'`` additionally emits unmatched left rows (right
+    columns null) once the watermark passes ``left_ts + within`` — i.e.
+    once no matching right row can still arrive.  Both sides must carry
+    the watermark for the outer flush (the global watermark is the min
+    across inputs)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"stream_interval_join supports inner/leftOuter, got {how!r}"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
@@ -119,4 +130,4 @@ def stream_interval_join(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -56,6 +56,7 @@ def test_stream_metrics_recorder(spark, tmp_path):
             spark.readStream.schema("ts timestamp, user_id bigint")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
+            .observe("ingest", F.count(F.lit(1)).alias("rows_seen"))
         )
         out = stream_tumbling_counts(stream, ts_col="ts", pane="60 seconds")
         q = (
@@ -84,3 +85,9 @@ def test_stream_metrics_recorder(spark, tmp_path):
     assert s["max_state_rows"] > 0
     # watermark advanced past the first pane
     assert s["last_watermark"] is not None
+    # df.observe metrics surface per batch
+    observed = sum(
+        b["observed"].get("ingest", {}).get("rows_seen", 0)
+        for b in rec.batches
+    )
+    assert observed == 300

@@ -189,3 +189,84 @@ def test_stream_dedup_exact_keeps_one_per_key(spark, tmp_path):
         .collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_stream_interval_left_outer_join(spark, tmp_path):
+    """leftOuter: unmatched clicks flush with null purchase once the
+    watermark passes click_ts + within; sentinels on BOTH sides advance
+    the global (min) watermark past every real row."""
+    rng = np.random.default_rng(11)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": EPOCH + np.sort(rng.uniform(0, 120, n)),
+            "user_id": rng.integers(0, 5, n),
+            "event_type": rng.choice(["click", "purchase", "view"], n),
+        }
+    )
+    # one far-future sentinel per joined stream
+    pdf.loc[len(pdf)] = [10_000_000, EPOCH + 10_000.0, 98, "click"]
+    pdf.loc[len(pdf)] = [10_000_001, EPOCH + 10_000.0, 97, "purchase"]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, idx in enumerate(np.array_split(np.arange(len(pdf)), 3)):
+        spark.createDataFrame(
+            pdf.iloc[idx],
+            schema="event_id long, ts double, user_id long, event_type string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("ts").alias("ts"),
+            "user_id",
+            "event_type",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{i:02d}.parquet"
+        )
+
+    def split(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("cu"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("pu"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+        return clicks, purchases
+
+    sc, sp = split(_stream(spark, src))
+    out = R.stream_interval_join(
+        sc,
+        sp,
+        left_key="cu",
+        right_key="pu",
+        left_ts="cts",
+        right_ts="pts",
+        within="30 seconds",
+        how="leftOuter",
+    ).select("click_id", "purchase_id")
+    got = sorted(
+        (r.click_id, r.purchase_id)
+        for r in _run(
+            spark, out, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        ).collect()
+        if r.click_id < 10_000_000  # drop the sentinel click
+    )
+
+    bc, bp = split(_batch(spark, pdf))
+    exp = sorted(
+        (r.click_id, r.purchase_id)
+        for r in bc.join(
+            bp,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 seconds")),
+            "left",
+        ).select("click_id", "purchase_id").collect()
+        if r.click_id < 10_000_000
+    )
+    assert got == exp
+    assert any(p is None for _, p in got)  # unmatched clicks present
+    assert any(p is not None for _, p in got)
