@@ -616,6 +616,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "purchase_id")
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95 per event type.  Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share the linear-interpolation definition
+    (h = (n-1)p) — verified bit-exact, so the hashes match without any
+    decimal detour.  At scale swap for ``approx_percentile`` (t-digest;
+    no exact-sort shuffle) — the exact form here is the oracle-checkable
+    contract."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
 def q_rollup_panes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup in ONE pass (hypertable-style
     continuous-aggregate shape): event counts/sums at (day, hour) and
@@ -1063,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_cap": q_stratified_cap,
         "det_sample": q_det_sample,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -1577,6 +1592,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE cast(concat('0x', substr(md5(concat('3:',
                     cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   / 1152921504606846976.0 < 0.2
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type
         """,
         "rollup_panes": """
             WITH e AS (
