@@ -120,26 +120,48 @@ def main() -> None:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*.parquet")
     )
-    spts = featurize_pages(stream).select(
-        F.abs(F.xxhash64("url")).alias("id"),
-        F.col("warc_ts").alias("ts"),
-        "features",
-    )
-    q = write_outlier_stream(
-        kelos_stream(spts, KelosConfig(n=100)),
-        sink_dir,
-        ckpt,
-        trigger={"availableNow": True},
-    )
-    q.awaitTermination(300)
-    durations = sorted(
-        p["durationMs"].get("triggerExecution", 0)
-        for p in q.recentProgress
-    )
-    if durations:
-        p95 = durations[min(len(durations) - 1, int(0.95 * len(durations)))]
+    def run_stream(shards: int, sink_dir: str, ckpt: str):
+        spts = featurize_pages(stream).select(
+            F.abs(F.xxhash64("url")).alias("id"),
+            F.col("warc_ts").alias("ts"),
+            "features",
+            *(
+                [(F.abs(F.xxhash64("url")) % shards).alias("shard")]
+                if shards
+                else []
+            ),
+        )
+        q = write_outlier_stream(
+            kelos_stream(
+                spts,
+                KelosConfig(n=100),
+                shard_col="shard" if shards else None,
+            ),
+            sink_dir,
+            ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(300)
+        durations = sorted(
+            p["durationMs"].get("triggerExecution", 0)
+            for p in q.recentProgress
+        )
+        if not durations:
+            return None, 0
+        return (
+            durations[min(len(durations) - 1, int(0.95 * len(durations)))],
+            len(durations),
+        )
+
+    # single-shard = the reference-parity configuration; 8 shards = the
+    # scale path (state and clustering parallelize across shards)
+    p95, nb = run_stream(0, f"{base}/sink0", f"{base}/ckpt0")
+    if p95 is not None:
         timings["stream_p95_window_close_ms"] = p95
-        timings["stream_batches"] = len(durations)
+        timings["stream_batches"] = nb
+    p95s, _ = run_stream(8, f"{base}/sink8", f"{base}/ckpt8")
+    if p95s is not None:
+        timings["stream_p95_sharded_ms"] = p95s
     shutil.rmtree(base, ignore_errors=True)
 
     # --- driver-contract queries at SF_DIR ------------------------------
