@@ -1,0 +1,99 @@
+"""Table maintenance for the parquet fallback path: keyed upsert
+(MERGE-equivalent) and small-file compaction.
+
+On Iceberg these are one-liners (MERGE INTO / rewrite_data_files); the
+parquet path needs them spelled out, and a 10^12-doc pipeline cannot
+live without either — backfills must overwrite exactly the affected
+rows idempotently, and a streaming sink that commits a file per
+micro-batch per partition accretes millions of tiny files that destroy
+scan planning.
+
+Both operators touch ONLY the partitions present in the incoming data /
+selected for rewrite (dynamic partition overwrite), so cost scales with
+the delta, not the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def upsert_partitioned(
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE-equivalent for a partitioned parquet table: rows in
+    ``updates`` replace existing rows with the same key; other rows in
+    the touched partitions survive; untouched partitions are not read
+    or written.  Idempotent: replaying the same updates rewrites the
+    same partitions with the same content.
+
+    Requires ``partition_col`` to be FUNCTIONALLY DETERMINED by the key
+    (an update may not move a row across partitions — same rule Hive/
+    Iceberg MERGE with partition pruning relies on)."""
+    spark = updates.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first write: no table yet
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(
+            path
+        )
+        return
+    parts = [
+        r[partition_col]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    survivors = existing.where(
+        F.col(partition_col).isin(parts)
+    ).join(
+        updates.select(*key_cols).distinct(),
+        key_cols,
+        "left_anti",
+    )
+    (
+        survivors.unionByName(updates.select(*existing.columns))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partitions: list | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Rewrite the given partitions (default: all) of a partitioned
+    parquet table into ``files_per_partition`` files each — the
+    small-file compaction a per-micro-batch streaming sink needs.
+    Row-preserving; only the selected partitions are rewritten."""
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.where(F.col(partition_col).isin(list(partitions)))
+    n_parts = df.select(partition_col).distinct().count()
+    if files_per_partition == 1:
+        # each task holds whole partition values -> one file per value
+        out = df.repartition(max(n_parts, 1), F.col(partition_col))
+    else:
+        # sub-split by a row-hash salt: at most files_per_partition
+        # files per partition value
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        out = df.repartition(
+            max(n_parts, 1) * files_per_partition,
+            F.col(partition_col),
+            salt,
+        )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

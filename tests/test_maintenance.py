@@ -1,0 +1,85 @@
+"""Parquet-table maintenance (plans/maintenance.py): keyed upsert
+semantics, replay idempotence, partition isolation, compaction."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kelos_on_kafka_spark.plans import maintenance as M
+
+
+def _mk_table(spark, path):
+    spark.createDataFrame(
+        [(1, "d1", "a"), (2, "d1", "b"), (3, "d2", "c"), (4, "d3", "d")],
+        "id long, day string, v string",
+    ).write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def _read(spark, path):
+    return {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "d1", "B2"), (5, "d2", "e")], "id long, day string, v string"
+    )
+    M.upsert_partitioned(updates, path, ["id"], "day")
+    assert _read(spark, path) == {
+        (1, "d1", "a"),
+        (2, "d1", "B2"),  # updated in place
+        (3, "d2", "c"),
+        (5, "d2", "e"),  # inserted
+        (4, "d3", "d"),  # untouched partition survives
+    }
+
+
+def test_upsert_replay_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "d1", "B2")], "id long, day string, v string"
+    )
+    M.upsert_partitioned(updates, path, ["id"], "day")
+    before = _read(spark, path)
+    M.upsert_partitioned(updates, path, ["id"], "day")  # replay
+    assert _read(spark, path) == before
+
+
+def test_upsert_creates_table_on_first_write(spark, tmp_path):
+    path = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(1, "d1", "a")], "id long, day string, v string"
+    )
+    M.upsert_partitioned(updates, path, ["id"], "day")
+    assert _read(spark, path) == {(1, "d1", "a")}
+
+
+def _n_files(path, day):
+    return len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, f"day={day}", "*.parquet"))
+            if os.path.basename(f).startswith("part-")
+        ]
+    )
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # write each row separately -> many small files per partition
+    for i in range(6):
+        spark.createDataFrame(
+            [(10 + i, "d1", f"v{i}")], "id long, day string, v string"
+        ).write.mode("append").partitionBy("day").parquet(path)
+    assert _n_files(path, "d1") >= 6
+    before = _read(spark, path)
+    M.compact_partitions(spark, path, "day")
+    assert _n_files(path, "d1") == 1
+    assert _read(spark, path) == before
