@@ -18,8 +18,35 @@ __all__ = [
     "write_outlier_stream",
     "featurize_pages",
     "get_spark",
+    "stream_near_dup_pairs",
+    "asof_join",
+    "sequence_matches",
+    "salted_join",
+    "salted_topn",
+    "hash_split",
+    "stratified_cap",
+    "deterministic_sample",
+    "with_lineage",
+    "record_stream_metrics",
+    "upsert_partitioned",
+    "compact_partitions",
 ]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+_LAZY = {
+    "stream_near_dup_pairs": ("kelos_on_kafka_spark.streaming.dedup_stream", None),
+    "asof_join": ("kelos_on_kafka_spark.operators.temporal", None),
+    "sequence_matches": ("kelos_on_kafka_spark.operators.temporal", None),
+    "salted_join": ("kelos_on_kafka_spark.plans.skew", None),
+    "salted_topn": ("kelos_on_kafka_spark.plans.skew", None),
+    "hash_split": ("kelos_on_kafka_spark.operators.sampling", None),
+    "stratified_cap": ("kelos_on_kafka_spark.operators.sampling", None),
+    "deterministic_sample": ("kelos_on_kafka_spark.operators.sampling", None),
+    "with_lineage": ("kelos_on_kafka_spark.plans.lineage", None),
+    "record_stream_metrics": ("kelos_on_kafka_spark.plans.lineage", None),
+    "upsert_partitioned": ("kelos_on_kafka_spark.plans.maintenance", None),
+    "compact_partitions": ("kelos_on_kafka_spark.plans.maintenance", None),
+}
 
 
 def __getattr__(name):
@@ -45,4 +72,9 @@ def __getattr__(name):
         from kelos_on_kafka_spark.plans.session import get_spark
 
         return get_spark
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name][0])
+        return getattr(mod, name)
     raise AttributeError(name)

@@ -10,9 +10,12 @@ Cluster deployment (north_rule):
         --checkpoint s3://bucket/ckpt --shards 4096
 
 Modes:
-  batch   — bounded replay over a page table, streamwise physical plan
-  stream  — Structured Streaming with watermarks + exactly-once sink
-  debug   — also write assignments/clusters/candidates debug tables
+  batch        — bounded replay over a page table, streamwise physical plan
+  stream       — Structured Streaming with watermarks + exactly-once sink
+  debug        — also write assignments/clusters/candidates debug tables
+  dedup-stream — stateful LSH near-dup pairs over a document stream
+                 (input needs doc_id/text/ts columns; url/warc_ts page
+                 tables are adapted automatically)
 
 Local smoke (what the sandbox runs):
     spark-submit --master local[8] --py-files /tmp/kelos.zip \
@@ -27,7 +30,17 @@ import argparse
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["batch", "stream", "debug"], default="batch")
+    ap.add_argument(
+        "--mode",
+        choices=["batch", "stream", "debug", "dedup-stream"],
+        default="batch",
+    )
+    ap.add_argument("--horizon", default="1 day", help="dedup-stream pairing horizon")
+    ap.add_argument(
+        "--available-now",
+        action="store_true",
+        help="bounded replay: process existing input then stop",
+    )
     ap.add_argument("--input", required=True, help="page table path (parquet/Iceberg)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None, help="required for stream mode")
@@ -59,6 +72,42 @@ def main() -> None:
             (F.abs(F.xxhash64("url")) % args.shards).alias("shard"),
         )
 
+    if args.mode == "dedup-stream":
+        assert args.checkpoint, "--checkpoint required for dedup-stream mode"
+        from kelos_on_kafka_spark.streaming.dedup_stream import (
+            stream_near_dup_pairs,
+        )
+
+        schema = spark.read.parquet(args.input).schema
+        docs = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .load(args.input)
+        )
+        names = set(schema.fieldNames())
+        if "doc_id" not in names:  # page-table adapter
+            docs = docs.select(
+                F.abs(F.xxhash64("url")).alias("doc_id"),
+                "text",
+                F.col("warc_ts").alias("ts"),
+            )
+        writer = (
+            stream_near_dup_pairs(
+                docs, horizon=args.horizon, watermark_delay=args.watermark
+            )
+            .writeStream.format("parquet")
+            .option("path", args.output)
+            .option("checkpointLocation", args.checkpoint)
+            .outputMode("append")
+        )
+        if args.available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination()
+        spark.stop()
+        return
+
     if args.mode == "stream":
         assert args.checkpoint, "--checkpoint required for stream mode"
         pages = (
@@ -73,7 +122,12 @@ def main() -> None:
             shard_col="shard",
             watermark_delay=args.watermark,
         )
-        q = write_outlier_stream(out, args.output, args.checkpoint)
+        q = write_outlier_stream(
+            out,
+            args.output,
+            args.checkpoint,
+            trigger={"availableNow": True} if args.available_now else None,
+        )
         q.awaitTermination()
     elif args.mode == "debug":
         pages = spark.read.parquet(args.input)
