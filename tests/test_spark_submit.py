@@ -1,0 +1,72 @@
+"""North-rule invocation: the engine must run via
+``spark-submit --py-files`` as a zipped package.  This drives
+scripts/run_job.py batch mode through the real spark-submit binary on a
+small page table and checks the outlier output shape."""
+
+import os
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_batch_mode(spark, tmp_path):
+    # package zip
+    zpath = str(tmp_path / "kelos.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "kelos_on_kafka_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    # small page table (deterministic synth)
+    from kelos_on_kafka_spark.sources.pages import (
+        synth_pages,
+        write_pages_parquet,
+    )
+
+    inp = str(tmp_path / "pages")
+    write_pages_parquet(
+        spark, synth_pages(n=3000, seed=9, pages_per_pane=500), inp,
+        partitions=2,
+    )
+
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    r = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zpath,
+            os.path.join(REPO, "scripts", "run_job.py"),
+            "--mode",
+            "batch",
+            "--input",
+            inp,
+            "--output",
+            out,
+            "--shards",
+            "8",
+            "--top-n",
+            "10",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(tmp_path),  # away from the repo: the zip must suffice
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    cols = set(got.columns)
+    assert {"shard", "window_id", "rank", "point_id", "klome"} <= cols
