@@ -443,6 +443,22 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact media dedup: group binary payloads by sha256 — the
+    image/audio twin of text dedup_exact (bytes are hashed where they
+    sit; only 32-byte digests shuffle)."""
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return media.groupBy(
+        F.sha2(F.col("payload"), 256).alias("sha256")
+    ).agg(
+        F.min("asset_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_assets"),
+    )
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (mapInPandas row explosion with
     lineage); the deterministic fake decoder slices the payload, so the
@@ -1059,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16_portable": q_simhash16_portable,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_image_dims": q_multimodal_image_dims,
+        "media_exact_dups": q_media_exact_dups,
         "video_frames": q_video_frames,
         "audio_meta": q_audio_meta,
         "lang_guess": q_lang_guess,
@@ -1592,6 +1609,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE cast(concat('0x', substr(md5(concat('3:',
                     cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
                   / 1152921504606846976.0 < 0.2
+        """,
+        "media_exact_dups": """
+            SELECT sha256(text) AS sha256,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_assets
+            FROM documents GROUP BY 1
         """,
         "value_percentiles": """
             SELECT event_type,
