@@ -632,6 +632,69 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "purchase_id")
 
 
+def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events per 12h pane computed by the REAL streaming top-N
+    operator (streaming/topn_stream.py: bounded O(n) state per pane,
+    watermark-close emission) — the events table is streamed as
+    ts-ordered files with a sentinel closing the last real pane; oracle
+    is the plain window ranking."""
+    import tempfile
+    import uuid
+
+    pane_s = 43200
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (windowing.epoch_us("ts") / F.lit(1_000_000))
+        .cast("long")
+        .alias("sec"),
+        "value",
+    )
+    pdf = ev.toPandas().sort_values(["sec", "event_id"])
+    sentinel_sec = int((pdf["sec"].max() // pane_s + 2) * pane_s)
+    sentinel_pane = sentinel_sec // pane_s
+    src = tempfile.mkdtemp(prefix="stopn_src_")
+    n_files = 4
+    per = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if chunk.empty:
+            continue
+        spark.createDataFrame(
+            chunk, schema="event_id long, sec long, value double"
+        ).select(
+            "event_id", F.timestamp_seconds("sec").alias("ts"), "value"
+        ).coalesce(1).write.parquet(f"{src}/f{i:02d}.parquet")
+    spark.createDataFrame(
+        [(999_999_999, sentinel_sec, 0.0)],
+        "event_id long, sec long, value double",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "value"
+    ).coalesce(1).write.parquet(f"{src}/f99.parquet")
+
+    from kelos_on_kafka_spark.streaming.topn_stream import (
+        stream_topn_per_window,
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/*.parquet")
+    )
+    name = f"stopn_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_topn_per_window(stream, n=5, pane_seconds=pane_s)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(
+        F.col("pane_id") < F.lit(sentinel_pane)
+    ).select("pane_id", "rank", "event_id", "value")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per event type.  Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation definition
@@ -1095,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap": q_stratified_cap,
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
+        "stream_topn": q_stream_topn,
     }
 
 
@@ -1615,6 +1679,18 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        "stream_topn": """
+            WITH p AS (
+              SELECT epoch_us(ts) // 43200000000 AS pane_id, event_id, value
+              FROM events
+            ), r AS (
+              SELECT pane_id, event_id, value,
+                     row_number() OVER (PARTITION BY pane_id
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM p
+            )
+            SELECT pane_id, rank, event_id, value FROM r WHERE rank <= 5
         """,
         "value_percentiles": """
             SELECT event_type,
