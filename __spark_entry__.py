@@ -695,6 +695,72 @@ def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pane_id", "rank", "event_id", "value")
 
 
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per 6h window on the REAL stream (chained
+    stateful ops: dedup on (window, user) then windowed count — distinct
+    aggs are illegal in streaming).  unix_micros output keeps the
+    comparison session-timezone-free."""
+    import tempfile
+    import uuid
+
+    pane_s = 21600
+    ev = _t(spark, sf_dir, "events").select(
+        (windowing.epoch_us("ts") / F.lit(1_000_000))
+        .cast("long")
+        .alias("sec"),
+        "user_id",
+    )
+    pdf = ev.toPandas().sort_values(["sec", "user_id"])
+    sentinel_sec = int((pdf["sec"].max() // pane_s + 2) * pane_s)
+    src = tempfile.mkdtemp(prefix="sdist_src_")
+    n_files = 4
+    per = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if chunk.empty:
+            continue
+        spark.createDataFrame(
+            chunk, schema="sec long, user_id bigint"
+        ).select(
+            F.timestamp_seconds("sec").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(f"{src}/f{i:02d}.parquet")
+    spark.createDataFrame(
+        [(sentinel_sec, 999_999)], "sec long, user_id bigint"
+    ).select(
+        F.timestamp_seconds("sec").alias("ts"), "user_id"
+    ).coalesce(1).write.parquet(f"{src}/f99.parquet")
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_windowed_distinct,
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/*.parquet")
+    )
+    name = f"sdist_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_windowed_distinct(
+            stream, key_col="user_id", pane=f"{pane_s} seconds"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "n_distinct",
+        )
+        .where(F.col("window_start_us") < F.lit(sentinel_sec * 1_000_000))
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per event type.  Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation definition
@@ -1159,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
         "stream_topn": q_stream_topn,
+        "stream_distinct": q_stream_distinct,
     }
 
 
@@ -1679,6 +1746,12 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        "stream_distinct": """
+            SELECT (epoch_us(ts) // 21600000000) * 21600000000
+                     AS window_start_us,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1
         """,
         "stream_topn": """
             WITH p AS (

@@ -82,6 +82,39 @@ def stream_session_windows(
     )
 
 
+def stream_windowed_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    pane: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Exact distinct count per tumbling window on a stream.
+
+    ``count(distinct x)`` is illegal in streaming aggregations; the
+    rewrite chains two stateful operators (Spark 3.4+): dedup on
+    (window, key) — state evicted once the watermark passes the window —
+    then a plain windowed count.  Same two-phase shape as the batch
+    ``skew.two_phase_distinct`` (and it spreads a hot window across the
+    (window, key) exchange for free)."""
+    deduped = (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), pane).alias("win"), F.col(key_col)
+        )
+        .dropDuplicates(["win", key_col])
+    )
+    return (
+        deduped.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_distinct",
+        )
+    )
+
+
 def stream_dedup_exact(
     events: DataFrame,
     key_cols: list[str],

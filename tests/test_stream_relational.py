@@ -270,3 +270,31 @@ def test_stream_interval_left_outer_join(spark, tmp_path):
     assert got == exp
     assert any(p is None for _, p in got)  # unmatched clicks present
     assert any(p is not None for _, p in got)
+
+
+def test_stream_windowed_distinct_matches_batch(spark, tmp_path):
+    """Chained stateful ops (dedup -> windowed count): exact distinct
+    users per window on a real stream equals the batch count(distinct)."""
+    pdf = _event_files(spark, str(tmp_path / "src"), n=300)
+    out = R.stream_windowed_distinct(
+        _stream(spark, str(tmp_path / "src")),
+        key_col="user_id",
+        pane="20 seconds",
+    )
+    got = _run(
+        spark, out, str(tmp_path / "sink_wd"), str(tmp_path / "ckpt_wd")
+    ).collect()
+
+    batch = _batch(spark, pdf)
+    exp = (
+        batch.groupBy(F.window("ts", "20 seconds").alias("win"))
+        .agg(F.count_distinct("user_id").alias("n_distinct"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_distinct",
+        )
+        .collect()
+    )
+    assert _cut(got, 0) == _cut(exp, 0)
+    assert len(_cut(got, 0)) > 0
