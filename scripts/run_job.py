@@ -41,6 +41,11 @@ def main() -> None:
         action="store_true",
         help="bounded replay: process existing input then stop",
     )
+    ap.add_argument(
+        "--bench",
+        action="store_true",
+        help="print a JSON timing line for the job phase (batch mode)",
+    )
     ap.add_argument("--input", required=True, help="page table path (parquet/Iceberg)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None, help="required for stream mode")
@@ -135,9 +140,23 @@ def main() -> None:
         for name, df in tabs.items():
             df.write.mode("overwrite").parquet(f"{args.output}/{name}")
     else:
+        import json
+        import time
+
         pages = spark.read.parquet(args.input)
         out = detect_outliers_streamwise(to_points(pages), cfg, shard_col="shard")
+        t0 = time.perf_counter()
         out.write.mode("overwrite").parquet(args.output)
+        if args.bench:
+            # job-phase seconds: session-ready -> action complete
+            # (excludes JVM/spark-submit startup, which a long-lived
+            # cluster pays once, not per job)
+            print(
+                json.dumps(
+                    {"job_seconds": round(time.perf_counter() - t0, 3)}
+                ),
+                flush=True,
+            )
     spark.stop()
 
 

@@ -218,3 +218,47 @@ def test_stream_lineage_columns(spark, tmp_path):
     )
     row = df.where(F.col("window_id") < MAX_REAL_WINDOW).first()
     assert row.n_window_points > 0 and row.n_clusters > 0
+
+
+def test_engine_runs_on_rate_limited_source(spark, tmp_path):
+    """North-star shape: a rate-limited unbounded source feeding the
+    stateful engine.  The rate-micro-batch source emits rows_per_batch
+    deterministic rows per trigger; we run a few micro-batches, stop,
+    and require clean progress (the file-based tests cover output
+    parity; this pins the unbounded-source plumbing)."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "200")
+        .option("startTimestamp", "1000000000")  # ms; avoid epoch 0
+        .load()
+    )
+    pts = stream.select(
+        F.col("value").alias("id"),
+        F.col("timestamp").alias("ts"),
+        F.array(
+            (F.col("value") % 7).cast("double"),
+            (F.col("value") % 11).cast("double"),
+        ).alias("features"),
+    )
+    out = kelos_stream(pts, CFG, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rate_kelos_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if len(q.recentProgress) >= 3:
+                break
+            time.sleep(1)
+        assert q.exception() is None
+        assert len(q.recentProgress) >= 3
+        rows_seen = sum(p["numInputRows"] for p in q.recentProgress)
+        assert rows_seen >= 400
+    finally:
+        q.stop()
