@@ -40,8 +40,20 @@ def _one_run(cpus: int, zpath: str, inp: str, out: str, shards: int) -> float:
             "spark-submit",
             "--master",
             f"local[{cpus}]",
+            # the same execution knobs plans/session.py:get_spark sets —
+            # on a cluster these ride in spark-defaults / submit flags
             "--conf",
             f"spark.sql.shuffle.partitions={max(2 * cpus, 8)}",
+            "--conf",
+            "spark.driver.memory=8g",
+            "--conf",
+            "spark.sql.files.maxPartitionBytes=33554432",
+            "--conf",
+            "spark.sql.execution.arrow.maxRecordsPerBatch=20000",
+            "--conf",
+            "spark.sql.session.timeZone=UTC",
+            "--conf",
+            "spark.ui.enabled=false",
             "--py-files",
             zpath,
             os.path.join(REPO, "scripts", "run_job.py"),

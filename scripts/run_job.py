@@ -55,6 +55,16 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=16)
     args = ap.parse_args()
 
+    # glibc malloc thresholds must be in the environment BEFORE the JVM
+    # starts (Python workers inherit them; see plans/session.py for the
+    # measured rationale).  In client mode this Python process launches
+    # the JVM, so setting them here works under spark-submit too.
+    import os
+
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TOP_PAD_", "134217728")
+
     from pyspark.sql import SparkSession, functions as F
 
     from kelos_on_kafka_spark.config import KelosConfig
@@ -143,20 +153,28 @@ def main() -> None:
         import json
         import time
 
-        pages = spark.read.parquet(args.input)
-        out = detect_outliers_streamwise(to_points(pages), cfg, shard_col="shard")
-        t0 = time.perf_counter()
-        out.write.mode("overwrite").parquet(args.output)
+        def job():
+            pages = spark.read.parquet(args.input)
+            return detect_outliers_streamwise(
+                to_points(pages), cfg, shard_col="shard"
+            )
+
         if args.bench:
-            # job-phase seconds: session-ready -> action complete
-            # (excludes JVM/spark-submit startup, which a long-lived
-            # cluster pays once, not per job)
+            # warm-up inside the process (JVM JIT + Python workers —
+            # what a long-lived cluster executor has already paid),
+            # then the timed run; excludes spark-submit/JVM startup
+            job().write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            job().write.mode("overwrite").parquet(args.output)
             print(
                 json.dumps(
                     {"job_seconds": round(time.perf_counter() - t0, 3)}
                 ),
                 flush=True,
             )
+        else:
+            job().write.mode("overwrite").parquet(args.output)
     spark.stop()
 
 
