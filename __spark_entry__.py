@@ -632,6 +632,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "purchase_id")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/phones) with audit counts — portable regex
+    subset (no backreferences/lookaround) so Java regex and RE2 agree."""
+    return textstats.redact_pii(_t(spark, sf_dir, "documents"))
+
+
 def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 events per 12h pane computed by the REAL streaming top-N
     operator (streaming/topn_stream.py: bounded O(n) state per pane,
@@ -1224,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_cap": q_stratified_cap,
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
+        "redact_pii": q_redact_pii,
         "stream_topn": q_stream_topn,
         "stream_distinct": q_stream_distinct,
     }
@@ -1746,6 +1753,21 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        "redact_pii": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '<PHONE>', 'g')
+                     AS redacted,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]')) AS n_phones
+            FROM documents
         """,
         "stream_distinct": """
             SELECT (epoch_us(ts) // 21600000000) * 21600000000

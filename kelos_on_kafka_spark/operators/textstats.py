@@ -172,3 +172,33 @@ def corpus_stats_by_lang(
             F.sum("nd").alias("sum_digit_chars"),
         )
     )
+
+
+# --- PII scrubbing ---------------------------------------------------------
+
+# Engine-portable patterns (same semantics under Java regex and RE2):
+# no backreferences, no lookaround, explicit character classes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails/phone numbers from a document column — the standard
+    pretraining-pipeline PII pass, pure Catalyst (regexp_replace is
+    codegen'd; no Python).  Returns (id, redacted, n_emails, n_phones);
+    the match counts feed the pipeline's audit metrics."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+    )
