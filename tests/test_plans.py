@@ -57,6 +57,9 @@ def test_relational_queries_have_no_python_stage(spark):
         "hash_split",
         "stratified_cap",
         "det_sample",
+        "value_percentiles",
+        "media_exact_dups",
+        "redact_pii",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
