@@ -17,6 +17,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def write_upsert_stream(
+    updates: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    partition_col: str,
+    order_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming CDC sink: materialize a keyed table from a stream of
+    upserts (foreachBatch -> plans/maintenance.upsert_partitioned).
+    Within a micro-batch the winner per key is the max ``order_col``
+    (or arbitrary-but-deterministic max over all columns if None) —
+    across batches, later batches overwrite earlier ones, so the table
+    converges to last-write-wins.  Replayed batches rewrite the same
+    partitions with the same rows (idempotent), which is what makes
+    foreachBatch exactly-once here.  On Iceberg this whole function is
+    ``MERGE INTO`` (sources/iceberg.py)."""
+    from pyspark.sql.window import Window
+
+    from kelos_on_kafka_spark.plans.maintenance import upsert_partitioned
+
+    order = F.col(order_col) if order_col else F.struct(
+        *[F.col(c) for c in updates.columns]
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(order.desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_partitioned(latest, path, key_cols, partition_col)
+
+    writer = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def write_outlier_stream(
     outliers: DataFrame,
     path: str,

@@ -83,3 +83,56 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     M.compact_partitions(spark, path, "day")
     assert _n_files(path, "d1") == 1
     assert _read(spark, path) == before
+
+
+def test_streaming_cdc_upsert_sink(spark, tmp_path):
+    """write_upsert_stream: a stream of keyed updates converges to
+    last-write-wins; within-batch ties resolve by order_col."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kelos_on_kafka_spark.streaming.sink import write_upsert_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # file 1: initial rows; file 2: update id=1 (newer seq) + insert id=3
+    f1 = pd.DataFrame(
+        {"id": [1, 2], "day": ["d1", "d1"], "v": ["a", "b"], "seq": [1, 1]}
+    )
+    f2 = pd.DataFrame(
+        {
+            "id": [1, 1, 3],
+            "day": ["d1", "d1", "d2"],
+            "v": ["A_mid", "A_new", "c"],
+            "seq": [2, 3, 1],
+        }
+    )
+    for i, pdf in enumerate([f1, f2]):
+        spark.createDataFrame(
+            pdf, schema="id long, day string, v string, seq long"
+        ).coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("id long, day string, v string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    q = write_upsert_stream(
+        stream,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        key_cols=["id"],
+        partition_col="day",
+        order_col="seq",
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(str(tmp_path / "table")).select(
+            "id", "day", "v"
+        ).collect()
+    }
+    # id=1 -> seq 3 wins within the second batch; id=2 untouched; id=3 new
+    assert got == {(1, "d1", "A_new"), (2, "d1", "b"), (3, "d2", "c")}
