@@ -335,7 +335,16 @@ def q_stream_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/dedup_stream.py, availableNow trigger), pairs land in a
     memory sink, and the distinct pair set is returned.  With every doc
     inside the horizon this equals the batch banded pairs, so the
-    minhash_lsh_pairs oracle applies verbatim."""
+    minhash_lsh_pairs oracle applies verbatim.
+
+    max_bucket caveat (documented divergence): the batch operator and
+    the oracle DROP an oversized (band, bucket) entirely, while the
+    stream — append mode cannot retract already-emitted pairs — emits
+    pairs among the first max_bucket members and then saturates.  The
+    pairing is exact here only because no bucket in the documents
+    table approaches the cap (max observed bucket ≪ 1000); at a scale
+    where buckets saturate, stream output is a PREFIX of each bucket's
+    batch pairs, not equal to it."""
     import tempfile
     import uuid
 

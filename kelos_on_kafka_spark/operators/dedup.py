@@ -222,26 +222,40 @@ def simhash_near_dup_pairs(
 
     Scale shape mirrors the banded-minhash path: shuffle only (chunk_id,
     chunk_value) pairs, join within buckets, ``max_bucket`` guards
-    degenerate chunks (e.g. the all-zeros chunk of short docs)."""
+    degenerate chunks (e.g. the all-zeros chunk of short docs).
+
+    Chunk layout: the 64 bits are covered COMPLETELY by ``max_hamming
+    + 1`` variable-width chunks (widths 64//n or 64//n + 1) — a
+    truncating fixed width would leave the top 64 % n bits out of every
+    chunk and cost bucket selectivity.  ``max_hamming == 0`` buckets on
+    the full hash (no mask: a 64-bit all-ones literal overflows
+    LongType); widths are otherwise <= 33 bits, so masks stay in-range."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
     sims = simhash64(df, id_col, text_col, n_bits=64, portable=portable)
+    if n_chunks == 1:
+        chunk_cols = [
+            F.struct(F.lit(0).alias("chunk"), F.col("simhash").alias("val"))
+        ]
+    else:
+        base, extra = divmod(64, n_chunks)
+        chunk_cols, off = [], 0
+        for c in range(n_chunks):
+            width = base + (1 if c < extra else 0)
+            chunk_cols.append(
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                )
+            )
+            off += width
     chunks = sims.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("cc"),
+        F.explode(F.array(*chunk_cols)).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.val")
     sized = chunks.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("chunk", "val"))

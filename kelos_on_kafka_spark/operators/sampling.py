@@ -16,6 +16,8 @@ keyed at domain/lang granularity exactly like any per-key top-n).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -38,6 +40,23 @@ def deterministic_sample(
     return df.where(_unit_hash(F.col(id_col), seed) < F.lit(float(fraction)))
 
 
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, float]]:
+    """Cumulative [0, 1) bounds for ``hash_split``, accumulated exactly
+    (Fraction) and rounded to double ONCE per bound — so 0.8 + 0.1
+    yields the double 0.9, not 0.9000000000000000(4).  A hand-written
+    oracle can therefore use ``repr(bound)`` literals (0.9 for weights
+    .8/.1/.1) and bit-match the Spark plan's comparison constants; a
+    float-accumulated bound would disagree with the literal on a
+    ~1-ulp interval and break cross-engine membership parity."""
+    names = list(weights)
+    cum = Fraction(0)
+    bounds: list[tuple[str, float]] = []
+    for name in names[:-1]:
+        cum += Fraction(float(weights[name]))
+        bounds.append((name, float(cum)))
+    return bounds
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -47,13 +66,10 @@ def hash_split(
 ) -> DataFrame:
     """Assign every row to exactly one named split (train/val/test …)
     by cumulative hash bucket.  Weights must sum to ~1; the last split
-    absorbs rounding so every row is assigned."""
+    absorbs rounding so every row is assigned.  Bucket bounds come from
+    ``split_bounds`` (exact accumulation) so oracle literals match."""
     names = list(weights)
-    cum = 0.0
-    bounds = []
-    for name in names[:-1]:
-        cum += float(weights[name])
-        bounds.append((name, cum))
+    bounds = split_bounds(weights)
     u = _unit_hash(F.col(id_col), seed)
     # build the when-cascade from the last bound outward so the FIRST
     # matching (smallest) bound wins

@@ -34,13 +34,20 @@ def upsert_partitioned(
     (an update may not move a row across partitions — same rule Hive/
     Iceberg MERGE with partition pruning relies on)."""
     spark = updates.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first write: no table yet
+    # Existence is checked through the Hadoop FS, not by catching the
+    # read error: a transient read failure (corrupt footer, permission)
+    # on an EXISTING table must propagate, never fall through to the
+    # first-write full overwrite (that path would replace the table
+    # with just this updates batch).
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):  # first write: no table yet
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(
             path
         )
         return
+    existing = spark.read.parquet(path)
     parts = [
         r[partition_col]
         for r in updates.select(partition_col).distinct().collect()

@@ -105,10 +105,24 @@ def salted_join(
     entirely; and a stats-less small side can otherwise bait Catalyst
     into broadcasting the BIG side — observed with a createDataFrame
     dim at bench scale.)  Pass ``strategy=None`` to let Catalyst/AQE
-    choose."""
+    choose.
+
+    ``salt_cols`` must vary WITHIN a hot key (a row id, a payload
+    hash); a salt derived only from the join keys is constant per key,
+    so the hot key still funnels to a single reducer and the salting
+    silently does nothing.  Columns that are a subset of ``on`` are
+    therefore rejected; when omitted, the salt derives from ALL of
+    ``big``'s columns (deterministic; only full-duplicate rows share a
+    salt, which cannot concentrate a hot key unless the key is mostly
+    duplicate rows — pass an explicit row-id column in that case)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salted_big = with_salt(big, n_salts, salt_cols or on)
+    if salt_cols is not None and set(salt_cols) <= set(on):
+        raise ValueError(
+            "salt_cols ⊆ join keys gives a per-key-constant salt "
+            "(zero skew spreading); pass columns that vary within a key"
+        )
+    salted_big = with_salt(big, n_salts, salt_cols or list(big.columns))
     # sequence(int, int) yields array<int>, matching with_salt's int cast
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

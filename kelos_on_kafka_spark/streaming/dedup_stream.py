@@ -172,15 +172,24 @@ def _make_bucket_fn(horizon_us: int, max_bucket: int):
             st.members = [
                 (d, t) for (d, t) in st.members if t + horizon_us >= wm_us
             ]
-        if st.members or st.saturated:
+        if st.members:
             state.update((pickle.dumps(st),))
-            if st.members:
-                wake_ms = (
-                    max(t for _, t in st.members) + horizon_us
-                ) // 1000 + 1
-                state.setTimeoutTimestamp(
-                    max(wake_ms, state.getCurrentWatermarkMs() + 1)
-                )
+            wake_ms = (
+                max(t for _, t in st.members) + horizon_us
+            ) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(wake_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif st.saturated and not state.hasTimedOut:
+            # keep the saturation flag only until the watermark passes
+            # one horizon beyond now — after that no still-admissible
+            # row could pair with the (evicted) members anyway, and the
+            # timeout removes the state so saturated buckets cannot
+            # accumulate forever
+            state.update((pickle.dumps(st),))
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + horizon_us // 1000 + 1
+            )
         elif state.exists:
             state.remove()
 

@@ -154,3 +154,39 @@ def test_simhash_near_dups_pigeonhole_exactness(spark):
     for (a, b), h in got.items():
         assert h == bin(sims[a] ^ sims[b]).count("1") and h <= 6
     assert all(3 not in p for p in got)
+
+
+def test_simhash_near_dups_exact_mode_and_nondivisor_chunks(spark):
+    """ADVICE r02: max_hamming=0 used to build a 64-bit all-ones mask
+    (LongType overflow at plan time); non-divisor chunk counts left the
+    top 64 % n bits out of every chunk.  Exact mode now buckets on the
+    full hash, and variable-width chunks cover all 64 bits."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    base = "quick brown fox jumps over lazy dog again and again " * 4
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base + "same", base + "same", base + "other end"],
+            }
+        )
+    )
+    # exact-dup mode (n_chunks=1): identical docs found at hamming 0
+    exact = simhash_near_dup_pairs(docs, max_hamming=0, portable=True)
+    got0 = {(r.doc_a, r.doc_b): r.hamming for r in exact.collect()}
+    assert got0 == {(1, 2): 0}
+    # non-divisor chunking (max_hamming=4 -> 5 chunks over 64 bits):
+    # results still verify against locally computed popcounts
+    pairs = simhash_near_dup_pairs(docs, max_hamming=4, portable=True)
+    sims = {
+        r.doc_id: r.simhash for r in simhash64(docs, portable=True).collect()
+    }
+    for r in pairs.collect():
+        h = bin(sims[r.doc_a] ^ sims[r.doc_b]).count("1")
+        assert r.hamming == h and h <= 4
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, max_hamming=64)

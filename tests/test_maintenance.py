@@ -136,3 +136,26 @@ def test_streaming_cdc_upsert_sink(spark, tmp_path):
     }
     # id=1 -> seq 3 wins within the second batch; id=2 untouched; id=3 new
     assert got == {(1, "d1", "A_new"), (2, "d1", "b"), (3, "d2", "c")}
+
+
+def test_upsert_raises_on_unreadable_existing_table(spark, tmp_path):
+    """ADVICE r02: a read failure on an EXISTING table must propagate —
+    never fall through to the first-write path, which would replace the
+    whole table with just the updates batch."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    data_files = glob.glob(f"{path}/*/*.parquet")
+    assert data_files
+    for f in data_files:  # corrupt every footer in place
+        with open(f, "wb") as fh:
+            fh.write(b"this is not a parquet footer")
+    updates = spark.createDataFrame(
+        [(1, "d1", "X")], "id long, day string, v string"
+    )
+    with pytest.raises(Exception):
+        M.upsert_partitioned(updates, path, ["id"], "day")
+    # the corrupt originals are still there — no overwrite happened
+    remaining = glob.glob(f"{path}/*/*.parquet")
+    assert set(remaining) == set(data_files)
+    with open(remaining[0], "rb") as fh:
+        assert fh.read().startswith(b"this is not")

@@ -77,3 +77,22 @@ def test_stratified_cap_bounds_each_key(spark, docs):
         (r["lang"], r["sample_rank"], r["doc_id"]) for r in rows
     )
     assert key(out.collect()) == key(again.collect())
+
+
+def test_split_bounds_are_oracle_literal_exact():
+    """ADVICE r02: float-accumulated bounds can drift a ulp off the
+    decimal literal a hand-written oracle uses (0.1 + 0.2 != 0.3);
+    split_bounds accumulates exactly (Fraction) and rounds once, so
+    each bound is the double nearest the true cumulative weight and
+    ``repr(bound)`` is safe to paste into an oracle."""
+    assert 0.1 + 0.2 != 0.3  # the float hazard being guarded against
+    bounds = sampling.split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert bounds == [("train", 0.8), ("val", 0.9)]
+    assert repr(bounds[1][1]) == "0.9"
+    # the drift case: nine 0.1 weights accumulated in float give
+    # 0.8999999999999999, but the exact cumulative sum rounds to 0.9 —
+    # split_bounds produces the 0.9 an oracle author would write
+    ws = {chr(97 + i): 0.1 for i in range(10)}
+    b2 = sampling.split_bounds(ws)
+    assert sum([0.1] * 9) == 0.8999999999999999  # float accumulation
+    assert b2[8][1] == 0.9  # exact accumulation, literal-safe

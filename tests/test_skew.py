@@ -123,3 +123,35 @@ def test_salted_join_shuffles_on_key_and_salt(spark, skewed):
 
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("key" in p and "__salt" in p for p in parts), plan
+
+
+def test_salted_join_rejects_key_derived_salt(spark, skewed):
+    """ADVICE r02: a salt derived only from the join keys is constant
+    per key — zero skew spreading — so it is rejected, not silently
+    accepted."""
+    dim = spark.createDataFrame([("hot", 1)], "key string, mult int")
+    with pytest.raises(ValueError, match="salt_cols"):
+        skew.salted_join(skewed, dim, on=["key"], salt_cols=["key"])
+
+
+def test_salted_join_default_salt_spreads_and_matches(spark, skewed):
+    """Default (no salt_cols): salt derives from all big-side columns —
+    result identical to the plain join, and the hot key occupies more
+    than one salt value."""
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold", 2)], "key string, mult int"
+    )
+    got = skew.salted_join(skewed, dim, on=["key"], n_salts=8)
+    want = skewed.join(dim, "key")
+    cols = ["key", "id", "mult"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    n_salts_used = (
+        skew.with_salt(skewed, 8, list(skewed.columns))
+        .where(F.col("key") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts_used > 1

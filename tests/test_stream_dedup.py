@@ -3,6 +3,7 @@ per-row signature parity with the batch operator, stream-vs-batch pair
 parity, and horizon semantics."""
 
 import os
+import pickle
 
 import pandas as pd
 import pytest
@@ -183,3 +184,82 @@ def test_saturated_bucket_stops_emitting(spark, tmp_path):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {
         (1, 2), (1, 3), (2, 3)
     }
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _make_bucket_fn."""
+
+    def __init__(self, wm_ms=0):
+        self._v = None
+        self.exists = False
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+        self._wm_ms = wm_ms
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def getCurrentWatermarkMs(self):
+        return self._wm_ms
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _drive(fn, state, rows):
+    batches = iter(
+        [pd.DataFrame({"doc_id": [r[0] for r in rows],
+                       "ts_us": [r[1] for r in rows]})]
+        if rows
+        else []
+    )
+    return list(fn((0,), batches, state))
+
+
+def test_saturated_bucket_state_is_eventually_removed():
+    """ADVICE r02: a saturated bucket whose members were all evicted
+    used to keep (empty, saturated) state forever with no timeout.  Now
+    it gets a timeout one horizon past the watermark and is removed
+    when that fires."""
+    horizon_us = 1_000_000
+    fn = dedup_stream._make_bucket_fn(horizon_us, max_bucket=2)
+
+    # fill past the cap -> saturated, pairs only among first 2 members
+    st = _FakeState(wm_ms=0)
+    out = _drive(fn, st, [(1, 100), (2, 200), (3, 300)])
+    assert len(out) == 1 and list(out[0]["doc_a"]) == [1]
+    assert st.exists and st.timeout_ms is not None
+
+    # watermark passes member horizon -> members evicted, saturation
+    # flag retained with a NEW timeout (not kept forever)
+    st._wm_ms = 10_000  # 10s >> member ts + horizon
+    st.hasTimedOut = False
+    out = _drive(fn, st, [])
+    assert out == [] and st.exists and not st.removed
+    assert st.timeout_ms == st._wm_ms + horizon_us // 1000 + 1
+    saturated = pickle.loads(st._v[0])
+    assert saturated.saturated and saturated.members == []
+
+    # that timeout fires -> state removed
+    st.hasTimedOut = True
+    out = _drive(fn, st, [])
+    assert out == [] and st.removed
+
+
+def test_saturated_bucket_emits_nothing_new_while_members_live():
+    """While saturated with live members the bucket ignores new docs
+    (append mode cannot retract; the batch analogue drops the bucket)."""
+    fn = dedup_stream._make_bucket_fn(10_000_000, max_bucket=1)
+    st = _FakeState(wm_ms=0)
+    assert _drive(fn, st, [(1, 100), (2, 200)]) == []  # 2nd doc saturates
+    assert _drive(fn, st, [(3, 300)]) == []  # ignored, no pairs ever
