@@ -650,9 +650,15 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 events per 12h pane computed by the REAL streaming top-N
     operator (streaming/topn_stream.py: bounded O(n) state per pane,
-    watermark-close emission) — the events table is streamed as
-    ts-ordered files with a sentinel closing the last real pane; oracle
-    is the plain window ranking."""
+    watermark-close emission); oracle is the plain window ranking.
+
+    Staging is fully distributed (VERDICT r02: the previous toPandas
+    here was a driver OOM shape at scale): the events table is range-
+    partitioned on event time and written sorted — file i holds earlier
+    rows than file i+1 — and a span-covering watermark delay makes the
+    result independent of file arrival order (no row can ever be late);
+    a sentinel written second (strictly later mod-time) advances the
+    watermark past every real pane so all panes emit."""
     import tempfile
     import uuid
 
@@ -664,27 +670,23 @@ def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sec"),
         "value",
     )
-    pdf = ev.toPandas().sort_values(["sec", "event_id"])
-    sentinel_sec = int((pdf["sec"].max() // pane_s + 2) * pane_s)
-    sentinel_pane = sentinel_sec // pane_s
+    row = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi")).first()
+    span_s = int(row["hi"] - row["lo"]) + pane_s
+    sentinel_pane = int(row["hi"] // pane_s + 2)
+    sentinel_sec = sentinel_pane * pane_s + span_s
     src = tempfile.mkdtemp(prefix="stopn_src_")
-    n_files = 4
-    per = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if chunk.empty:
-            continue
-        spark.createDataFrame(
-            chunk, schema="event_id long, sec long, value double"
-        ).select(
-            "event_id", F.timestamp_seconds("sec").alias("ts"), "value"
-        ).coalesce(1).write.parquet(f"{src}/f{i:02d}.parquet")
+    (
+        ev.repartitionByRange(4, "sec")
+        .sortWithinPartitions("sec", "event_id")
+        .select("event_id", F.timestamp_seconds("sec").alias("ts"), "value")
+        .write.parquet(f"{src}/data.parquet")
+    )
     spark.createDataFrame(
         [(999_999_999, sentinel_sec, 0.0)],
         "event_id long, sec long, value double",
     ).select(
         "event_id", F.timestamp_seconds("sec").alias("ts"), "value"
-    ).coalesce(1).write.parquet(f"{src}/f99.parquet")
+    ).coalesce(1).write.parquet(f"{src}/sentinel.parquet")
 
     from kelos_on_kafka_spark.streaming.topn_stream import (
         stream_topn_per_window,
@@ -697,7 +699,12 @@ def q_stream_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stopn_{uuid.uuid4().hex[:12]}"
     q = (
-        stream_topn_per_window(stream, n=5, pane_seconds=pane_s)
+        stream_topn_per_window(
+            stream,
+            n=5,
+            pane_seconds=pane_s,
+            watermark_delay=f"{span_s} seconds",
+        )
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -725,25 +732,23 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sec"),
         "user_id",
     )
-    pdf = ev.toPandas().sort_values(["sec", "user_id"])
-    sentinel_sec = int((pdf["sec"].max() // pane_s + 2) * pane_s)
+    row = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi")).first()
+    span_s = int(row["hi"] - row["lo"]) + pane_s
+    sentinel_sec = int(row["hi"] // pane_s + 2) * pane_s + span_s
     src = tempfile.mkdtemp(prefix="sdist_src_")
-    n_files = 4
-    per = (len(pdf) + n_files - 1) // n_files
-    for i in range(n_files):
-        chunk = pdf.iloc[i * per : (i + 1) * per]
-        if chunk.empty:
-            continue
-        spark.createDataFrame(
-            chunk, schema="sec long, user_id bigint"
-        ).select(
-            F.timestamp_seconds("sec").alias("ts"), "user_id"
-        ).coalesce(1).write.parquet(f"{src}/f{i:02d}.parquet")
+    # distributed ordered staging; span watermark makes it order-proof
+    # (see q_stream_topn)
+    (
+        ev.repartitionByRange(4, "sec")
+        .sortWithinPartitions("sec", "user_id")
+        .select(F.timestamp_seconds("sec").alias("ts"), "user_id")
+        .write.parquet(f"{src}/data.parquet")
+    )
     spark.createDataFrame(
         [(sentinel_sec, 999_999)], "sec long, user_id bigint"
     ).select(
         F.timestamp_seconds("sec").alias("ts"), "user_id"
-    ).coalesce(1).write.parquet(f"{src}/f99.parquet")
+    ).coalesce(1).write.parquet(f"{src}/sentinel.parquet")
 
     from kelos_on_kafka_spark.streaming.relational import (
         stream_windowed_distinct,
@@ -757,7 +762,10 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdist_{uuid.uuid4().hex[:12]}"
     q = (
         stream_windowed_distinct(
-            stream, key_col="user_id", pane=f"{pane_s} seconds"
+            stream,
+            key_col="user_id",
+            pane=f"{pane_s} seconds",
+            watermark=f"{span_s} seconds",
         )
         .writeStream.format("memory")
         .queryName(name)
