@@ -329,6 +329,20 @@ def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed dedup verdict: exact groups ∪ near-dup groups resolved
+    to one (doc_id, keeper_id, reason) row per document — the table a
+    pretraining pipeline consumes (filter reason='keep')."""
+    return dedup.dedup_decisions(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=16,
+        shingle_words=3,
+        n_bands=4,
+        rows_per_band=4,
+        portable=True,
+    )
+
+
 def q_stream_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful STREAMING LSH near-dup: the documents table is streamed
     as files through the real applyInPandasWithState query
@@ -784,6 +798,87 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks⋈purchases within 1h on the REAL stateful stream-stream
+    interval join (streaming/relational.py:stream_interval_join — the
+    window-store time-range fetch of the reference's FilterProcessor,
+    FilterProcessorSupplier.java:42-43, re-expressed as Spark's
+    watermark-evicted join state).  Both sides stream as range-
+    partitioned files; a span watermark keeps every row admissible, and
+    inner-join results are emitted as matches arrive, so no sentinel is
+    needed.  Oracle: the batch interval_join SQL verbatim."""
+    import tempfile
+    import uuid
+
+    # NTZ -> TIMESTAMP via the session-tz-independent epoch (CLAUDE.md:
+    # unix_micros rejects TIMESTAMP_NTZ), microseconds preserved exactly
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    span_s = int((row["hi"] - row["lo"]) // 1_000_000) + 3600
+    src = tempfile.mkdtemp(prefix="sij_src_")
+    for part, typ in (("clicks", "click"), ("purchases", "purchase")):
+        (
+            ev.where(F.col("event_type") == typ)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .select("event_id", "user_id", "ts")
+            .write.parquet(f"{src}/{part}")
+        )
+    schema = "event_id long, user_id bigint, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/clicks")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/purchases")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+    )
+    from kelos_on_kafka_spark.streaming.relational import stream_interval_join
+
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        left_key="cu",
+        right_key="pu",
+        left_ts="cts",
+        right_ts="pts",
+        within="1 hour",
+        watermark=f"{span_s} seconds",
+        how="inner",
+    )
+    name = f"sij_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("click_id", "purchase_id")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per event type.  Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation definition
@@ -1059,6 +1154,41 @@ def _near_dup_groups_sql(**kw) -> str:
     """
 
 
+def _dedup_decisions_sql(**kw) -> str:
+    """Composed dedup verdict oracle: exact keeper per md5(text) group,
+    near keeper from the recursive min-label closure, same precedence
+    as ``dedup.dedup_decisions`` (exact beats near beats keep)."""
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes(**kw)},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), cnodes AS (
+      SELECT DISTINCT a AS v FROM edges
+    ), reach(v, l) AS (
+      SELECT v, v FROM cnodes
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN edges e ON e.a = r.v
+    ), ngroups AS (
+      SELECT v AS doc_id, min(l) AS near_keeper FROM reach GROUP BY v
+    ), ex AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS exact_keeper
+      FROM documents
+    )
+    SELECT ex.doc_id,
+           CASE WHEN ex.exact_keeper <> ex.doc_id THEN ex.exact_keeper
+                WHEN g.near_keeper IS NOT NULL
+                     AND g.near_keeper <> ex.doc_id THEN g.near_keeper
+                ELSE ex.doc_id END AS keeper_id,
+           CASE WHEN ex.exact_keeper <> ex.doc_id THEN 'exact'
+                WHEN g.near_keeper IS NOT NULL
+                     AND g.near_keeper <> ex.doc_id THEN 'near'
+                ELSE 'keep' END AS reason
+    FROM ex LEFT JOIN ngroups g ON g.doc_id = ex.doc_id
+    """
+
+
 def _embedding_near_dups_sql(
     planes: list[list[float]], threshold: float, max_bucket: int = 10000
 ) -> str:
@@ -1222,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "stream_near_dups": q_stream_near_dups,
         "near_dup_groups": q_near_dup_groups,
+        "dedup_decisions": q_dedup_decisions,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash16_portable": q_simhash16_portable,
@@ -1250,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "stream_topn": q_stream_topn,
         "stream_distinct": q_stream_distinct,
+        "stream_interval_join": q_stream_interval_join,
     }
 
 
@@ -1468,6 +1600,9 @@ def oracle_sql() -> dict[str, str]:
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
         "near_dup_groups": _near_dup_groups_sql(
+            n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
+        ),
+        "dedup_decisions": _dedup_decisions_sql(
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
         "knn_lsh": _knn_lsh_sql(_KNN_PLANES, k=5, probe_max=20),
@@ -1791,6 +1926,14 @@ def oracle_sql() -> dict[str, str]:
                      AS window_start_us,
                    count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY 1
+        """,
+        "stream_interval_join": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND epoch_us(p.ts) >= epoch_us(c.ts)
+             AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         """,
         "stream_topn": """
             WITH p AS (

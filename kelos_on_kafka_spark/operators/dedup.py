@@ -423,6 +423,68 @@ def near_dup_groups(
     return cc.select(F.col("node_id").alias("doc_id"), "group_id")
 
 
+def dedup_decisions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_words: int = 3,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The composed dedup VERDICT table — one row per document:
+    (doc_id, keeper_id, reason) with reason in ('keep', 'exact',
+    'near').  This is the artifact a pretraining pipeline actually
+    consumes: filter ``reason = 'keep'`` for the corpus, or join the
+    keeper for provenance.
+
+    Precedence is deterministic and repartition-stable: an exact
+    duplicate (identical text, keeper = min doc_id of the fingerprint
+    group) is 'exact' even when it is also in a near-dup component; a
+    surviving doc that belongs to a transitive near-dup group
+    (``near_dup_groups``) and is not its keeper is 'near'; everything
+    else keeps itself.  Both keeper choices are min-id, so the verdict
+    depends only on document content and ids, never on partitioning.
+
+    Scale shape: the exact path shuffles one 16-byte digest per doc;
+    the near path is the bucketed LSH + connected-components pipeline;
+    resolution is one left join on doc_id."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fingerprint"),
+    )
+    exact_w = Window.partitionBy("fingerprint")
+    with_exact = docs.select(
+        "doc_id", F.min("doc_id").over(exact_w).alias("exact_keeper")
+    )
+    near = near_dup_groups(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        shingle_words=shingle_words,
+        n_bands=n_bands,
+        rows_per_band=rows_per_band,
+        portable=portable,
+    ).select("doc_id", F.col("group_id").alias("near_keeper"))
+    is_exact_dup = F.col("exact_keeper") != F.col("doc_id")
+    is_near_dup = F.col("near_keeper").isNotNull() & (
+        F.col("near_keeper") != F.col("doc_id")
+    )
+    return with_exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.when(is_exact_dup, F.col("exact_keeper"))
+        .when(is_near_dup, F.col("near_keeper"))
+        .otherwise(F.col("doc_id"))
+        .alias("keeper_id"),
+        F.when(is_exact_dup, F.lit("exact"))
+        .when(is_near_dup, F.lit("near"))
+        .otherwise(F.lit("keep"))
+        .alias("reason"),
+    )
+
+
 def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -114,10 +114,18 @@ def extract_image_features(
     media: DataFrame,
     asset_col: str = "asset_id",
     payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Decode + feature-extract images partition-by-partition.  One Arrow
     exchange; output is narrow (ids + dims + embedding) so downstream
-    similarity search never touches payload bytes."""
+    similarity search never touches payload bytes.
+
+    ``decoder``: ``bytes -> (width, height, embedding array)`` — the
+    deployment seam.  Defaults to the documented deterministic stub;
+    inject a Pillow/torchvision-backed callable (must be picklable —
+    a top-level function) and the schema, partitioning and Arrow batch
+    shape are unchanged (tested in tests/test_multimodal.py)."""
+    decode_one = decoder or _decode_image
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,7 +133,7 @@ def extract_image_features(
                 continue
             ws, hs, embs = [], [], []
             for payload in pdf[payload_col]:
-                w, h, e = _decode_image(bytes(payload))
+                w, h, e = decode_one(bytes(payload))
                 ws.append(w)
                 hs.append(h)
                 embs.append(list(e))
@@ -158,10 +166,16 @@ def extract_audio_features(
     media: DataFrame,
     asset_col: str = "asset_id",
     payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Decode + feature-extract audio partition-by-partition — same
     plumbing contract as ``extract_image_features``: one Arrow exchange,
-    narrow typed output, payload bytes never shuffled."""
+    narrow typed output, payload bytes never shuffled.
+
+    ``decoder``: ``bytes -> (sample_rate, duration_ms, n_samples,
+    spectrum array)`` — the deployment seam for ffmpeg/librosa; defaults
+    to the documented deterministic stub."""
+    decode_one = decoder or _decode_audio
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -169,7 +183,7 @@ def extract_audio_features(
                 continue
             srs, durs, ns, specs = [], [], [], []
             for payload in pdf[payload_col]:
-                sr, dur, n, spec = _decode_audio(bytes(payload))
+                sr, dur, n, spec = decode_one(bytes(payload))
                 srs.append(sr)
                 durs.append(dur)
                 ns.append(n)
@@ -189,17 +203,27 @@ def extract_audio_features(
     )
 
 
+def _slice_frames(payload: bytes, max_frames: int) -> list[bytes]:
+    """STUB frame extractor — deterministic 32-byte slices standing in
+    for ffmpeg keyframe decode."""
+    n = min(max_frames, max(1, len(payload) // 32))
+    return [payload[i * 32 : (i + 1) * 32] for i in range(n)]
+
+
 def sample_video_frames(
     media: DataFrame,
     every_ms: int = 1000,
     max_frames: int = 8,
     asset_col: str = "asset_id",
     payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame with
-    (asset_id, frame_index, frame_ts_ms, frame bytes).  The decoder is a
-    deterministic fake (slices of the payload) standing in for ffmpeg;
-    row explosion, batch shapes and lineage are the real contract."""
+    (asset_id, frame_index, frame_ts_ms, frame bytes).  ``decoder``:
+    ``(bytes, max_frames) -> list[frame bytes]`` — defaults to the
+    deterministic slice stub standing in for ffmpeg; row explosion,
+    batch shapes and lineage are the real contract either way."""
+    frames_of = decoder or _slice_frames
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -209,13 +233,11 @@ def sample_video_frames(
             for aid, payload in zip(
                 pdf[asset_col].to_numpy(dtype=np.int64), pdf[payload_col]
             ):
-                b = bytes(payload)
-                n = min(max_frames, max(1, len(b) // 32))
-                for i in range(n):
+                for i, fb in enumerate(frames_of(bytes(payload), max_frames)):
                     rows["asset_id"].append(int(aid))
                     rows["frame_index"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
-                    rows["frame"].append(b[i * 32 : (i + 1) * 32])
+                    rows["frame"].append(fb)
             yield pd.DataFrame(rows)
 
     return media.select(asset_col, payload_col).mapInPandas(

@@ -30,16 +30,28 @@ def read_reference_csv(
 ) -> DataFrame:
     """CSV -> engine points ``(id, ts, features)``.
 
-    Row ids follow file order (zipWithIndex over the raw lines — the
-    reference's producer consumes the file sequentially, so ordering is
-    part of the contract).  ``numeric_cols`` limits the vector width
-    (e.g. 2 for the labeled GMM file to skip the label column).
+    Row ids follow file order — the reference's producer consumes the
+    file sequentially, so ordering is part of the contract.  Pure
+    DataFrame: ``monotonically_increasing_id`` preserves file order
+    (partition index is file-offset order for a text scan), and a
+    ``row_number`` over it makes the ids contiguous.  The window is a
+    single-partition sort, acceptable because reference fixtures are
+    tiny (30 k rows); at scale an ordered id would come from the data
+    itself, not file position.  ``numeric_cols`` limits the vector
+    width (e.g. 2 for the labeled GMM file to skip the label column).
     """
     per_pane = max(1, elements_per_window // cfg.panes_per_window)
 
-    raw = spark.read.text(path).rdd.zipWithIndex()
-    rows = raw.map(lambda r: (int(r[1]), r[0].value))
-    df = spark.createDataFrame(rows, schema="id long, line string")
+    raw = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("_mid"),
+        F.col("value").alias("line"),
+    )
+    df = raw.select(
+        (F.row_number().over(Window.orderBy("_mid")) - 1)
+        .cast("long")
+        .alias("id"),
+        "line",
+    )
 
     cols = F.split(F.col("line"), ",")
     feats = F.transform(cols, lambda c: c.cast("double"))

@@ -190,3 +190,36 @@ def test_simhash_near_dups_exact_mode_and_nondivisor_chunks(spark):
         assert r.hamming == h and h <= 4
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dup_pairs(docs, max_hamming=64)
+
+
+def test_dedup_decisions_composed_and_repartition_stable(spark):
+    """dedup_decisions: exact beats near beats keep; the keeper choice
+    is identical under an adversarial repartitioning (min-id keepers
+    depend only on content and ids)."""
+    from kelos_on_kafka_spark.operators.dedup import dedup_decisions
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base + "tail one"),       # near-dup of 2
+        (2, base + "tail two"),       # near-dup of 1
+        (3, base + "tail one"),       # exact dup of 1
+        (4, "completely unrelated words with no overlap whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.keeper_id, r.reason)
+        for r in dedup_decisions(docs, portable=True).collect()
+    }
+    assert got[3] == (1, "exact")  # exact wins even if also a near-dup
+    assert got[4] == (4, "keep")
+    assert got[1] == (1, "keep")  # min-id keeper of its component
+    # doc 2: near-dup of 1 iff LSH banded them together; either way the
+    # verdict must be self-consistent (keeper is a kept doc or itself)
+    assert got[2][0] in (1, 2)
+    shuffled = {
+        r.doc_id: (r.keeper_id, r.reason)
+        for r in dedup_decisions(
+            docs.repartition(7, "text"), portable=True
+        ).collect()
+    }
+    assert shuffled == got

