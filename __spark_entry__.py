@@ -655,6 +655,33 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("click_id", "purchase_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (token/distinct/mode
+    counts, trigram total vs distinct) — integer-exact filters a
+    pretraining pipeline runs first."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc count of distinct trigrams
+    shared with a probe set (every 97th doc stands in for an eval
+    benchmark); probe shingle hashes broadcast, corpus side map-side
+    semi-joined."""
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 97 == 0)
+    return textstats.contamination(docs, probes)
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 distinctive terms (TF-IDF keyword extraction);
+    the driver row compares the integer ranking contract (tf desc,
+    doc_freq asc, term asc) — the double tfidf column stays out of the
+    hash comparison."""
+    return textstats.top_terms_tfidf(_t(spark, sf_dir, "documents"), k=5).select(
+        "doc_id", "rank", "term", "tf", "doc_freq"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (emails/phones) with audit counts — portable regex
     subset (no backreferences/lookaround) so Java regex and RE2 agree."""
@@ -1379,6 +1406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
         "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
+        "top_terms": q_top_terms,
         "stream_topn": q_stream_topn,
         "stream_distinct": q_stream_distinct,
         "stream_interval_join": q_stream_interval_join,
@@ -1905,6 +1935,103 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, trim(text) AS tt,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), base AS (
+              SELECT doc_id,
+                     CASE WHEN tt = '' THEN 0 ELSE len(t) END AS n_tok,
+                     CASE WHEN tt = '' THEN 0
+                          ELSE len(list_distinct(t)) END AS n_distinct_tok
+              FROM toks
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), grams AS (
+              SELECT doc_id, count(*) AS n_ngrams,
+                     count(DISTINCT shingle) AS n_distinct_ngrams
+              FROM sh GROUP BY 1
+            ), tokrows AS (
+              SELECT doc_id, unnest(t) AS tok FROM toks
+            ), modes AS (
+              SELECT doc_id, max(c) AS top_tok_n FROM (
+                SELECT doc_id, tok, count(*) AS c FROM tokrows
+                WHERE tok != '' GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tok, b.n_distinct_tok,
+                   coalesce(m.top_tok_n, 0) AS top_tok_n,
+                   coalesce(g.n_ngrams, 0) AS n_ngrams,
+                   coalesce(g.n_distinct_ngrams, 0) AS n_distinct_ngrams,
+                   (5 * coalesce(m.top_tok_n, 0) > b.n_tok
+                    OR 2 * coalesce(g.n_distinct_ngrams, 0)
+                       < coalesce(g.n_ngrams, 0)) AS repetitive
+            FROM base b
+            LEFT JOIN grams g ON g.doc_id = b.doc_id
+            LEFT JOIN modes m ON m.doc_id = b.doc_id
+        """,
+        # same portable md5 shingle hash on both engines (collision-safe
+        # parity, CLAUDE.md convention)
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), hashed AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(concat('0:', shingle)),
+                       1, 15)) AS BIGINT) AS h
+              FROM sh
+            ), probe AS (
+              SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_contaminated
+              FROM hashed WHERE h IN (SELECT h FROM probe)
+              GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_shingles,
+                   coalesce(t.n_contaminated, 0) AS n_contaminated,
+                   coalesce(t.n_contaminated, 0) > 0 AS contaminated
+            FROM sizes s LEFT JOIN hits t ON t.doc_id = s.doc_id
+        """,
+        "top_terms": """
+            WITH tokrows AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tokrows
+              WHERE term != '' GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+            ), ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, d.doc_freq,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, d.doc_freq ASC, tf.term ASC
+                     ) AS rank
+              FROM tf JOIN dfreq d ON d.term = tf.term
+            )
+            SELECT doc_id, rank, term, tf, doc_freq
+            FROM ranked WHERE rank <= 5
         """,
         "redact_pii": """
             SELECT doc_id,

@@ -202,3 +202,200 @@ def redact_pii(
             "n_phones"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Within-document repetition signals — the Gopher-style filters a
+    pretraining pipeline runs before anything expensive (Rae et al.
+    2021 §A1.1: duplicate-n-gram and top-token fractions): per doc the
+    token count, distinct-token count, the most-frequent token's count,
+    and the n-gram total/distinct counts.  All integers, so the oracle
+    comparison is exact; callers derive fractions themselves.
+
+    ``repetitive`` applies the common thresholds (top token > 20 % of
+    tokens, or > 50 % duplicate n-grams) as a pure integer predicate.
+
+    Scale shape: token/n-gram totals and distincts come from array
+    built-ins (split / array_distinct / size — zero shuffle); only the
+    top-token mode needs an exploded double aggregation, which shuffles
+    (doc_id, token) once and partial-aggregates map-side."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = _shingles_arr(text_col, ngram)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_tok"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .cast("long")
+        .alias("n_distinct_tok"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+        F.size(grams).cast("long").alias("n_ngrams"),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(toks).alias("tok"),
+    ).where(F.col("tok") != "")
+    top = (
+        exploded.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "n_distinct_tok",
+        F.coalesce(F.col("top_tok_n"), F.lit(0)).cast("long").alias("top_tok_n"),
+        "n_ngrams",
+        "n_distinct_ngrams",
+        (
+            (5 * F.coalesce(F.col("top_tok_n"), F.lit(0)) > F.col("n_tok"))
+            | (2 * F.col("n_distinct_ngrams") < F.col("n_ngrams"))
+        ).alias("repetitive"),
+    )
+
+
+def _shingles_arr(text_col: str, n_words: int):
+    """Same shingle construction as dedup._shingles (kept in sync with
+    the generate_series-based oracle SQL): all n-word windows, short
+    texts produce their whole text as one shingle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n_words, F.lit(0)))
+    return F.filter(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n_words), " ")
+        ),
+        lambda s: s != "",
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its distinct
+    word n-grams also occur in the probe (benchmark/eval) corpus — the
+    overlap check every serious pretraining pipeline runs so eval data
+    is not memorized (the n-gram-overlap method of GPT-3 appendix C /
+    PaLM; 13-gram in production, smaller here so tests exercise hits).
+
+    Returns (doc_id, n_shingles, n_contaminated, contaminated) — all
+    integers/boolean; a doc is flagged when ANY probe shingle occurs.
+
+    Scale shape: the probe side (benchmarks: thousands of docs, not
+    billions) reduces to a distinct md5-shingle-hash set that is
+    BROADCAST; the corpus side streams through a map-side semi-join —
+    the only shuffle is the final per-doc count, on 16-byte keys."""
+    from kelos_on_kafka_spark.operators.dedup import _hash64
+
+    doc_sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles_arr(text_col, ngram)).alias("shingle"),
+        )
+        .distinct()
+        .select("doc_id", _hash64(F.col("shingle"), 0).alias("h"))
+    )
+    probe_sh = (
+        probes.select(
+            F.explode(_shingles_arr(probe_text_col, ngram)).alias("shingle")
+        )
+        .select(_hash64(F.col("shingle"), 0).alias("h"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(probe_sh), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(_shingles_arr(text_col, ngram)))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+            "contaminated"
+        ),
+    )
+
+
+def top_terms_tfidf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k distinctive terms — TF-IDF keyword extraction
+    as a pure relational pipeline (token explode -> per-doc term counts
+    -> corpus doc-frequencies -> per-doc ranking window).
+
+    The RANK is decided by integer-only ordering (tf desc, doc_freq
+    asc, term asc): within a document this prefers frequent-and-rare
+    terms deterministically, engine-portably, with no float comparison
+    in the contract.  The conventional double score
+    ``tfidf = tf * ln(n_docs / doc_freq)`` is also emitted for
+    consumers but deliberately EXCLUDED from the oracle hash: measured
+    on this platform, JVM Math.log and DuckDB ln() disagree by one ulp
+    on ~2 % of inputs, so a cross-engine float contract on ln is
+    unsound (the same reason aggregate sums go through DECIMAL).
+
+    Scale shape: two shuffles — (doc_id, term) counts with map-side
+    partial aggregation, then term doc-frequencies (16-byte-ish keys);
+    the per-doc top-k window partitions on doc_id.  No all-corpus
+    vocabulary ever sits on one node."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    # corpus size as a broadcast scalar, not a driver-side count(): the
+    # whole op stays one lazy plan
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "doc_freq",
+            (
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double") / F.col("doc_freq")
+                )
+            ).alias("tfidf"),
+        )
+    )

@@ -60,6 +60,9 @@ def test_relational_queries_have_no_python_stage(spark):
         "value_percentiles",
         "media_exact_dups",
         "redact_pii",
+        "repetition_stats",
+        "contamination",
+        "top_terms",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
@@ -84,3 +87,8 @@ def test_whole_stage_codegen_present(spark):
     # codegen'd spans print as "*(n) Operator" in the executed plan
     plan = _plan(entry_mod.q_pane_agg(spark, SF))
     assert "*(" in plan
+
+
+def test_contamination_broadcasts_probe_side(spark):
+    plan = _plan(entry_mod.q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -1,0 +1,76 @@
+"""Pretraining-pipeline text operators (operators/textstats.py):
+repetition signals, benchmark decontamination, TF-IDF top terms."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kelos_on_kafka_spark.operators import textstats
+
+
+def test_repetition_stats_flags_planted_repeats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam ham"),    # mode-heavy
+            (2, "one two three four five six seven"),     # clean
+            (3, "a b c a b c a b c a b c"),               # dup trigrams
+            (4, ""),                                      # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in textstats.repetition_stats(docs).collect()
+    }
+    assert got[1]["n_tok"] == 7 and got[1]["top_tok_n"] == 6
+    assert got[1]["repetitive"]  # 5*6 > 7
+    assert got[2]["n_distinct_tok"] == 7 and not got[2]["repetitive"]
+    # doc 3: 10 trigrams, 3 distinct ("a b c","b c a","c a b")
+    assert got[3]["n_ngrams"] == 10 and got[3]["n_distinct_ngrams"] == 3
+    assert got[3]["repetitive"]
+    assert got[4]["n_tok"] == 0 and not got[4]["repetitive"]
+
+
+def test_contamination_counts_shared_trigrams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "totally unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "what does the quick brown fox say")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_contaminated, r.contaminated)
+        for r in textstats.contamination(docs, probes).collect()
+    }
+    # shared trigrams: "the quick brown", "quick brown fox"
+    assert got[1] == (2, True)
+    assert got[2] == (0, False)
+
+
+def test_top_terms_ranking_and_score(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "banana banana cherry"),
+            (3, "cherry date date date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.top_terms_tfidf(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    r1 = sorted(by_doc[1], key=lambda r: r.rank)
+    # doc 1: apple tf=3 df=1 beats banana tf=1 df=2
+    assert [r.term for r in r1] == ["apple", "banana"]
+    assert (r1[0].tf, r1[0].doc_freq) == (3, 1)
+    assert r1[0].tfidf == pytest.approx(3 * math.log(3 / 1), rel=1e-12)
+    # deterministic under repartitioning
+    again = textstats.top_terms_tfidf(docs.repartition(5), k=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
