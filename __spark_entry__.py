@@ -906,6 +906,98 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("click_id", "purchase_id")
 
 
+def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """leftOuter variant of the stateful stream-stream interval join:
+    unmatched clicks are flushed (purchase_id NULL) once the watermark
+    passes click_ts + 1h — the state-eviction semantics Spark's outer
+    stream join adds over the inner form.  A sentinel row on EACH side
+    (the global watermark is the min across inputs) pushes the final
+    watermark one hour past the last click so every unmatched click
+    flushes; sentinels never join (impossible user ids) and never flush
+    (the watermark stops short of their own bound).  Oracle: the plain
+    LEFT JOIN interval SQL."""
+    import tempfile
+    import uuid
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    span_s = int((row["hi"] - row["lo"]) // 1_000_000) + 3600
+    sentinel_us = row["hi"] + (span_s + 7200) * 1_000_000
+    src = tempfile.mkdtemp(prefix="sijl_src_")
+    schema = "event_id long, user_id bigint, ts timestamp"
+    for part, typ, sent_uid in (
+        ("clicks", "click", -1),
+        ("purchases", "purchase", -2),
+    ):
+        (
+            ev.where(F.col("event_type") == typ)
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts", "event_id")
+            .select("event_id", "user_id", "ts")
+            .write.parquet(f"{src}/{part}/data")
+        )
+        spark.createDataFrame(
+            [(-abs(sent_uid), sent_uid, sentinel_us)],
+            "event_id long, user_id bigint, us long",
+        ).select(
+            "event_id", "user_id", F.timestamp_micros("us").alias("ts")
+        ).coalesce(1).write.parquet(f"{src}/{part}/sentinel")
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/clicks/*")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cu"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/purchases/*")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("pu"),
+            F.col("ts").alias("pts"),
+        )
+    )
+    from kelos_on_kafka_spark.streaming.relational import stream_interval_join
+
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        left_key="cu",
+        right_key="pu",
+        left_ts="cts",
+        right_ts="pts",
+        within="1 hour",
+        watermark=f"{span_s} seconds",
+        how="leftOuter",
+    )
+    name = f"sijl_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("click_id") >= 0).select(
+        "click_id", "purchase_id"
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per event type.  Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation definition
@@ -1412,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topn": q_stream_topn,
         "stream_distinct": q_stream_distinct,
         "stream_interval_join": q_stream_interval_join,
+        "stream_interval_join_left": q_stream_interval_join_left,
     }
 
 
@@ -2059,6 +2152,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events c JOIN events p
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND epoch_us(p.ts) >= epoch_us(c.ts)
+             AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        """,
+        "stream_interval_join_left": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events
+                       WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
              AND epoch_us(p.ts) >= epoch_us(c.ts)
              AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         """,

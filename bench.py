@@ -192,6 +192,10 @@ def main() -> None:
         "asof_join",
         "cep_sequence",
         "rollup_panes",
+        "dedup_decisions",
+        "repetition_stats",
+        "contamination",
+        "top_terms",
     ]
     total = kelos_secs
     for name in bench_queries:
