@@ -32,7 +32,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["batch", "stream", "debug", "dedup-stream"],
+        choices=["batch", "stream", "debug", "dedup-stream", "dedup-verdict"],
         default="batch",
     )
     ap.add_argument("--horizon", default="1 day", help="dedup-stream pairing horizon")
@@ -120,6 +120,20 @@ def main() -> None:
             writer = writer.trigger(availableNow=True)
         q = writer.start()
         q.awaitTermination()
+        spark.stop()
+        return
+
+    if args.mode == "dedup-verdict":
+        # batch dedup decision table over a documents or pages table:
+        # (doc_id, keeper_id, reason) — filter reason='keep' downstream
+        from kelos_on_kafka_spark.operators.dedup import dedup_decisions
+
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in set(docs.schema.fieldNames()):
+            docs = docs.select(
+                F.abs(F.xxhash64("url")).alias("doc_id"), "text"
+            )
+        dedup_decisions(docs).write.mode("overwrite").parquet(args.output)
         spark.stop()
         return
 
