@@ -2087,23 +2087,23 @@ def oracle_sql() -> dict[str, str]:
               FROM idx
               WHERE array_to_string(t[i:i+2], ' ') != ''
             ), hashed AS (
-              SELECT doc_id,
+              SELECT DISTINCT doc_id,
                      cast(concat('0x', substr(md5(concat('0:', shingle)),
                        1, 15)) AS BIGINT) AS h
               FROM sh
             ), probe AS (
               SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0
-            ), sizes AS (
-              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
-            ), hits AS (
-              SELECT doc_id, count(*) AS n_contaminated
-              FROM hashed WHERE h IN (SELECT h FROM probe)
+            ), agg AS (
+              SELECT h2.doc_id, count(h2.h) AS n_shingles,
+                     count(p.h) AS n_contaminated
+              FROM hashed h2 LEFT JOIN probe p ON p.h = h2.h
               GROUP BY 1
             )
-            SELECT s.doc_id, s.n_shingles,
-                   coalesce(t.n_contaminated, 0) AS n_contaminated,
-                   coalesce(t.n_contaminated, 0) > 0 AS contaminated
-            FROM sizes s LEFT JOIN hits t ON t.doc_id = s.doc_id
+            SELECT d.doc_id,
+                   coalesce(a.n_shingles, 0) AS n_shingles,
+                   coalesce(a.n_contaminated, 0) AS n_contaminated,
+                   coalesce(a.n_contaminated, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "top_terms": """
             WITH tokrows AS (

@@ -69,18 +69,30 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 16,
     shingle_words: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: for each of ``n_hashes`` seeded
     hash functions, the minimum hash over the document's word shingles.
-    Returns (doc_id, minhash: array<long>[n_hashes])."""
+    Returns (doc_id, minhash: array<long>[n_hashes]).
+
+    ``fast=True`` swaps the portable md5 hash for seeded xxhash64 —
+    the deployment path (JVM-native, no hex round-trip) when external
+    SQL reproducibility is not required.  Signatures differ between the
+    two modes; pick one per corpus."""
     with_sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
     ).where(F.col("shingle") != "")
-    aggs = [
-        F.min(_hash64(F.col("shingle"), seed)).alias(f"h{seed}")
-        for seed in range(n_hashes)
-    ]
+    if fast:
+        aggs = [
+            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"h{seed}")
+            for seed in range(n_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(_hash64(F.col("shingle"), seed)).alias(f"h{seed}")
+            for seed in range(n_hashes)
+        ]
     sigs = with_sh.groupBy("doc_id").agg(*aggs)
     return sigs.select(
         "doc_id",

@@ -220,13 +220,41 @@ def repetition_stats(
     ``repetitive`` applies the common thresholds (top token > 20 % of
     tokens, or > 50 % duplicate n-grams) as a pure integer predicate.
 
-    Scale shape: token/n-gram totals and distincts come from array
-    built-ins (split / array_distinct / size — zero shuffle); only the
-    top-token mode needs an exploded double aggregation, which shuffles
-    (doc_id, token) once and partial-aggregates map-side."""
+    Scale shape: ONE projection, ZERO shuffles — totals and distincts
+    from array built-ins (split / array_distinct / size), and the
+    top-token mode as the longest run of the SORTED token array via a
+    higher-order ``aggregate`` (JVM-side; no (doc_id, token) explode —
+    an earlier version shuffled token strings twice and was 10× the
+    cost of the other text stats at bench scale).  Embarrassingly
+    parallel: partitions never exchange."""
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = _shingles_arr(text_col, ngram)
-    base = df.select(
+    # mode count = longest equal-run in the sorted token array
+    sorted_toks = F.array_sort(F.filter(toks, lambda t: t != ""))
+    run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    out = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.when(F.trim(F.col(text_col)) == "", F.lit(0))
         .otherwise(F.size(toks))
@@ -236,28 +264,19 @@ def repetition_stats(
         .otherwise(F.size(F.array_distinct(toks)))
         .cast("long")
         .alias("n_distinct_tok"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+        run.cast("long").alias("top_tok_n"),
         F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
     )
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(toks).alias("tok"),
-    ).where(F.col("tok") != "")
-    top = (
-        exploded.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_tok_n"))
-    )
-    return base.join(top, "doc_id", "left").select(
+    return out.select(
         "doc_id",
         "n_tok",
         "n_distinct_tok",
-        F.coalesce(F.col("top_tok_n"), F.lit(0)).cast("long").alias("top_tok_n"),
+        "top_tok_n",
         "n_ngrams",
         "n_distinct_ngrams",
         (
-            (5 * F.coalesce(F.col("top_tok_n"), F.lit(0)) > F.col("n_tok"))
+            (5 * F.col("top_tok_n") > F.col("n_tok"))
             | (2 * F.col("n_distinct_ngrams") < F.col("n_ngrams"))
         ).alias("repetitive"),
     )
@@ -293,48 +312,57 @@ def contamination(
 
     Returns (doc_id, n_shingles, n_contaminated, contaminated) — all
     integers/boolean; a doc is flagged when ANY probe shingle occurs.
+    Counts are over distinct shingle HASHES (the same portable md5 on
+    both engines, so hash collisions preserve parity by construction).
 
     Scale shape: the probe side (benchmarks: thousands of docs, not
     billions) reduces to a distinct md5-shingle-hash set that is
-    BROADCAST; the corpus side streams through a map-side semi-join —
-    the only shuffle is the final per-doc count, on 16-byte keys."""
+    BROADCAST; the corpus side is ONE pass — explode, hash (so only
+    8-byte keys ever shuffle, never shingle strings), per-doc distinct,
+    broadcast left join to mark hits, one aggregation producing both
+    counts."""
     from kelos_on_kafka_spark.operators.dedup import _hash64
+    from kelos_on_kafka_spark.plans.layout import fan_out
 
     doc_sh = (
-        docs.select(
+        fan_out(docs)
+        .select(
             F.col(id_col).alias("doc_id"),
-            F.explode(_shingles_arr(text_col, ngram)).alias("shingle"),
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        _shingles_arr(text_col, ngram),
+                        lambda s: _hash64(s, 0),
+                    )
+                )
+            ).alias("h"),
         )
-        .distinct()
-        .select("doc_id", _hash64(F.col("shingle"), 0).alias("h"))
     )
     probe_sh = (
         probes.select(
-            F.explode(_shingles_arr(probe_text_col, ngram)).alias("shingle")
+            F.explode(
+                F.transform(
+                    _shingles_arr(probe_text_col, ngram),
+                    lambda s: _hash64(s, 0),
+                )
+            ).alias("h")
         )
-        .select(_hash64(F.col("shingle"), 0).alias("h"))
         .distinct()
+        .select("h", F.lit(1).alias("hit"))
     )
-    hits = (
-        doc_sh.join(F.broadcast(probe_sh), "h", "left_semi")
+    return (
+        doc_sh.join(F.broadcast(probe_sh), "h", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
-    sizes = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.array_distinct(_shingles_arr(text_col, ngram)))
-        .cast("long")
-        .alias("n_shingles"),
-    )
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce(F.col("n_contaminated"), F.lit(0))
-        .cast("long")
-        .alias("n_contaminated"),
-        (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
-            "contaminated"
-        ),
+        .agg(
+            F.count(F.col("h")).alias("n_shingles"),
+            F.count(F.col("hit")).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            (F.col("n_contaminated") > 0).alias("contaminated"),
+        )
     )
 
 

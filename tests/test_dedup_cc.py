@@ -223,3 +223,30 @@ def test_dedup_decisions_composed_and_repartition_stable(spark):
         ).collect()
     }
     assert shuffled == got
+
+
+def test_minhash_fast_variant_finds_planted_dups(spark):
+    """fast=True (xxhash64) signatures: same shape, same planted-dup
+    recall through the banded pipeline as the portable variant."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base, "nothing in common with those docs"],
+            }
+        )
+    )
+    sigs = minhash_signatures(docs, fast=True)
+    rows = {r.doc_id: list(r.minhash) for r in sigs.collect()}
+    assert len(rows[1]) == 16 and rows[1] == rows[2] != rows[3]
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4).collect()
+    }
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)

@@ -90,5 +90,7 @@ def test_whole_stage_codegen_present(spark):
 
 
 def test_contamination_broadcasts_probe_side(spark):
+    # one-pass shape: probe hash set broadcast into a left join whose
+    # aggregation produces both counts; no shuffle carries strings
     plan = _plan(entry_mod.q_contamination(spark, SF))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
