@@ -21,6 +21,11 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     explicit ``min_partitions``)."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    if df.isStreaming:
+        # no partition probe on a streaming plan (.rdd is illegal);
+        # micro-batch layout follows the source's file/trigger split,
+        # and the stateful stages repartition on their keys anyway
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

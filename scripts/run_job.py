@@ -37,6 +37,11 @@ def main() -> None:
     )
     ap.add_argument("--horizon", default="1 day", help="dedup-stream pairing horizon")
     ap.add_argument(
+        "--emit-clean",
+        action="store_true",
+        help="dedup-verdict mode: also write the kept corpus",
+    )
+    ap.add_argument(
         "--available-now",
         action="store_true",
         help="bounded replay: process existing input then stop",
@@ -125,15 +130,25 @@ def main() -> None:
 
     if args.mode == "dedup-verdict":
         # batch dedup decision table over a documents or pages table:
-        # (doc_id, keeper_id, reason) — filter reason='keep' downstream
+        # (doc_id, keeper_id, reason) — filter reason='keep' downstream,
+        # or pass --emit-clean to also materialize the kept corpus
         from kelos_on_kafka_spark.operators.dedup import dedup_decisions
 
-        docs = spark.read.parquet(args.input)
+        raw = spark.read.parquet(args.input)
+        docs = raw
         if "doc_id" not in set(docs.schema.fieldNames()):
-            docs = docs.select(
+            docs = raw.select(
                 F.abs(F.xxhash64("url")).alias("doc_id"), "text"
             )
-        dedup_decisions(docs).write.mode("overwrite").parquet(args.output)
+        decisions = dedup_decisions(docs)
+        decisions.write.mode("overwrite").parquet(f"{args.output}/decisions")
+        if args.emit_clean:
+            keep = decisions.where(F.col("reason") == "keep").select("doc_id")
+            (
+                docs.join(keep, "doc_id", "left_semi")
+                .write.mode("overwrite")
+                .parquet(f"{args.output}/clean")
+            )
         spark.stop()
         return
 

@@ -74,3 +74,39 @@ def test_top_terms_ranking_and_score(spark):
     # deterministic under repartitioning
     again = textstats.top_terms_tfidf(docs.repartition(5), k=2).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_text_ops_unify_batch_and_stream(spark, tmp_path):
+    """The stateless text operators run unchanged on a STREAMING
+    DataFrame (batch/stream unification: same code, same results) —
+    repetition_stats on a file stream equals the batch run."""
+    import uuid
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam ham"),
+            (2, "one two three four five six seven"),
+            (3, "a b c a b c a b c a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"tops_{uuid.uuid4().hex[:12]}"
+    q = (
+        textstats.repetition_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table(name).collect()))
+    want = sorted(map(tuple, textstats.repetition_stats(docs).collect()))
+    assert got == want
