@@ -110,3 +110,68 @@ def test_text_ops_unify_batch_and_stream(spark, tmp_path):
     got = sorted(map(tuple, spark.table(name).collect()))
     want = sorted(map(tuple, textstats.repetition_stats(docs).collect()))
     assert got == want
+
+
+# --- property: repetition_stats equals a pure-Python reference ---------
+
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_repetition(text, n=3):
+    t = text.strip()
+    toks = _re.split(r"\s+", t, flags=_re.ASCII) if t else []
+    n_tok = len(toks) if t else 0
+    n_distinct = len(set(toks)) if t else 0
+    grams = []
+    split = _re.split(r"\s+", t, flags=_re.ASCII)
+    for i in range(max(len(split) - n, 0) + 1):
+        g = " ".join(split[i : i + n])
+        if g != "":
+            grams.append(g)
+    clean = [x for x in toks if x != ""]
+    top = max((clean.count(x) for x in set(clean)), default=0)
+    return (
+        n_tok,
+        n_distinct,
+        top,
+        len(grams),
+        len(set(grams)),
+        5 * top > n_tok or 2 * len(set(grams)) < len(grams),
+    )
+
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba", "x1", "zzz", "a", "b"]),
+    min_size=0,
+    max_size=12,
+)
+WS = st.sampled_from([" ", "  ", "\t", " \t "])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokses=st.lists(TOKENS, min_size=1, max_size=5), ws=WS)
+def test_repetition_stats_matches_python_reference(spark, tokses, ws):
+    texts = [ws.join(toks) for toks in tokses]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_tok,
+            r.n_distinct_tok,
+            r.top_tok_n,
+            r.n_ngrams,
+            r.n_distinct_ngrams,
+            r.repetitive,
+        )
+        for r in textstats.repetition_stats(docs).collect()
+    }
+    for i, text in enumerate(texts):
+        assert got[i] == _py_repetition(text), repr(text)
