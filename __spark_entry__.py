@@ -998,6 +998,56 @@ def q_stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate Bloom-filter windowed dedup on the REAL stream
+    (streaming/bloom_dedup.py): first event per (6h pane, user) with
+    O(n_bits) state per pane instead of O(keys).  Sized so no false
+    positive fires at this corpus (deterministic: the pairing with the
+    exact first-occurrence oracle is stable, not probabilistic — FP
+    behavior is a pure function of the data, pinned separately by
+    tests/test_bloom_dedup.py with a deliberately tiny filter)."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.bloom_dedup import stream_bloom_dedup
+
+    pane_s = 21600
+    src = tempfile.mkdtemp(prefix="bloomd_src_")
+    (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+            "user_id",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id bigint"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/data")
+    name = f"bloomd_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_bloom_dedup(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            pane_seconds=pane_s,
+            n_bits=1 << 20,
+            k=4,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("pane_id", "key_h1", "row_id", "ts_us")
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per event type.  Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation definition
@@ -1505,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct": q_stream_distinct,
         "stream_interval_join": q_stream_interval_join,
         "stream_interval_join_left": q_stream_interval_join_left,
+        "stream_bloom_dedup": q_stream_bloom_dedup,
     }
 
 
@@ -2154,6 +2205,25 @@ def oracle_sql() -> dict[str, str]:
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND epoch_us(p.ts) >= epoch_us(c.ts)
              AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        """,
+        # exact first-occurrence oracle: valid because the driver-sized
+        # filter (2^20 bits, k=4) fires no false positive on this
+        # corpus, deterministically (see q_stream_bloom_dedup docstring)
+        "stream_bloom_dedup": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 21600000000 AS pane_id,
+                     cast(concat('0x', substr(md5(concat('1:',
+                       cast(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       AS key_h1,
+                     event_id AS row_id,
+                     epoch_us(ts) AS ts_us,
+                     row_number() OVER (
+                       PARTITION BY epoch_us(ts) // 21600000000, user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS rn
+              FROM events
+            )
+            SELECT pane_id, key_h1, row_id, ts_us FROM e WHERE rn = 1
         """,
         "stream_interval_join_left": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id

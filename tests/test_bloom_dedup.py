@@ -1,0 +1,120 @@
+"""Approximate Bloom-filter windowed streaming dedup
+(streaming/bloom_dedup.py): exactness when sized generously, bit-level
+determinism of the approximate path against a pure-Python reference
+(including forced false positives), and bounded state shape."""
+
+import os
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kelos_on_kafka_spark.streaming import bloom_dedup
+
+
+def _rows():
+    # (event_id, sec, user) with planted duplicates inside and across
+    # panes (pane = 100 s)
+    rows = []
+    eid = 0
+    for sec, user in [
+        (10, 1), (11, 2), (12, 1), (13, 3), (14, 2),   # pane 0 dups
+        (110, 1), (111, 1), (112, 4),                   # pane 1
+        (115, 4), (118, 5),
+    ]:
+        rows.append((eid, sec, user))
+        eid += 1
+    return rows
+
+
+def _run_stream(spark, tmp_path, rows, n_bits, k=4, pane_seconds=100):
+    src = str(tmp_path / f"src_{uuid.uuid4().hex[:8]}")
+    (
+        spark.createDataFrame(rows, "event_id long, sec long, user_id long")
+        .coalesce(1)
+        .sortWithinPartitions("sec", "event_id")
+        .select(
+            "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+        )
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    name = f"bloom_{uuid.uuid4().hex[:10]}"
+    q = (
+        bloom_dedup.stream_bloom_dedup(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            pane_seconds=pane_seconds,
+            n_bits=n_bits,
+            k=k,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).collect()
+
+
+def _py_reference(rows, n_bits, k, pane_seconds):
+    """Pure-Python bloom over the same portable hashes, same order."""
+    import hashlib
+
+    def h64(s, seed):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    survivors = []
+    filters = {}
+    for eid, sec, user in sorted(rows, key=lambda r: (r[1], r[0])):
+        pane = sec * 1_000_000 // (pane_seconds * 1_000_000)
+        h1, h2 = h64(str(user), 1), h64(str(user), 2)
+        bits = filters.setdefault(pane, set())
+        pos = bloom_dedup.bloom_positions(h1, h2, n_bits, k)
+        if not all(p in bits for p in pos):
+            bits.update(pos)
+            survivors.append((pane, h1, eid, sec * 1_000_000))
+    return sorted(survivors)
+
+
+def test_bloom_dedup_exact_when_sized(spark, tmp_path):
+    """With a generous filter no false positive fires: output equals
+    exact first-occurrence-per-(pane, key)."""
+    rows = _rows()
+    got = sorted(
+        (r.pane_id, r.row_id) for r in _run_stream(spark, tmp_path, rows, 1 << 16)
+    )
+    first = {}
+    for eid, sec, user in sorted(rows, key=lambda r: (r[1], r[0])):
+        first.setdefault((sec // 100, user), eid)
+    assert got == sorted((p, e) for (p, _u), e in first.items())
+
+
+def test_bloom_dedup_matches_python_reference_with_fps(spark, tmp_path):
+    """With a TINY filter false positives are forced — and the stream
+    drops exactly the rows the deterministic reference drops (the
+    approximate path is a pure function of the data)."""
+    rows = [(i, 10 + i, 1000 + i) for i in range(40)]  # all-distinct keys
+    n_bits, k = 64, 3
+    got = sorted(
+        (r.pane_id, r.key_h1, r.row_id, r.ts_us)
+        for r in _run_stream(
+            spark, tmp_path, rows, n_bits, k=k, pane_seconds=1000
+        )
+    )
+    want = _py_reference(rows, n_bits, k, 1000)
+    assert got == want
+    assert len(got) < len(rows)  # FPs actually fired
+
+
+def test_bloom_dedup_rerun_is_identical(spark, tmp_path):
+    rows = [(i, 10 + (i % 7), i % 11) for i in range(50)]
+    a = sorted(map(tuple, _run_stream(spark, tmp_path, rows, 1 << 10, k=3)))
+    b = sorted(map(tuple, _run_stream(spark, tmp_path, rows, 1 << 10, k=3)))
+    assert a == b
