@@ -682,6 +682,24 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negation CEP: clicks with NO purchase by the same user within 1h
+    (funnel drop-off) — one window pass, no join, no NOT-EXISTS
+    row-explosion.  Oracle: the NOT EXISTS form."""
+    from kelos_on_kafka_spark.operators.temporal import absence_matches
+
+    return absence_matches(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        first_type="click",
+        absent_type="purchase",
+        within_us=HOUR_US,
+        id_col="event_id",
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (emails/phones) with audit counts — portable regex
     subset (no backreferences/lookaround) so Java regex and RE2 agree."""
@@ -1548,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
         "redact_pii": q_redact_pii,
+        "funnel_dropoff": q_funnel_dropoff,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "top_terms": q_top_terms,
@@ -2079,6 +2098,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        "funnel_dropoff": """
+            SELECT c.user_id, c.event_id AS first_id,
+                   epoch_us(c.ts) AS first_ts_us
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.user_id = c.user_id
+                  AND p.event_type = 'purchase'
+                  AND epoch_us(p.ts) >= epoch_us(c.ts)
+                  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+              )
         """,
         "repetition_stats": """
             WITH toks AS (

@@ -151,3 +151,65 @@ def sequence_matches(
             F.col("__ts_us").alias("end_ts_us"),
         )
     )
+
+
+def absence_matches(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    absent_type: str,
+    within_us: int,
+    id_col: str,
+) -> DataFrame:
+    """Negation CEP — ``first_type`` events with NO ``absent_type``
+    event for the same key within ``[ts, ts + within_us]``: the funnel
+    drop-off query (clicks that never converted), the alerting pattern
+    relational engines express as NOT EXISTS and CEP engines as
+    ``A not followed by B within T``.
+
+    Plan: no join and no NOT-EXISTS subquery — one window pass per key
+    computes each event's next ``absent_type`` timestamp (min over the
+    following frame), then a filter keeps rows where it is null or
+    beyond the horizon.  Events are ordered (ts, is-first-type desc,
+    id) so an ``absent_type`` at the SAME timestamp as the probe counts
+    as within the (inclusive) interval.  One shuffle on the key — the
+    same cost as the positive sequence query, and immune to the
+    row-explosion a self-join on hot keys suffers.
+
+    Returns (key, first_id, first_ts_us)."""
+    df = events.select(
+        key_col,
+        F.col(id_col).alias("__id"),
+        epoch_us(ts_col).alias("__ts_us"),
+        (F.col(type_col) == F.lit(absent_type)).alias("__is_absent"),
+        (F.col(type_col) == F.lit(first_type)).alias("__is_first"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            F.col("__ts_us").asc(),
+            F.col("__is_absent").asc(),  # probes before same-ts absents
+            F.col("__id").asc(),
+        )
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("__is_absent"), F.col("__ts_us"))
+    ).over(w)
+    return (
+        df.withColumn("__next_absent", nxt)
+        .where(
+            F.col("__is_first")
+            & (
+                F.col("__next_absent").isNull()
+                | (F.col("__next_absent") > F.col("__ts_us") + F.lit(within_us))
+            )
+        )
+        .select(
+            key_col,
+            F.col("__id").alias("first_id"),
+            F.col("__ts_us").alias("first_ts_us"),
+        )
+    )

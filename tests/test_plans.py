@@ -63,6 +63,7 @@ def test_relational_queries_have_no_python_stage(spark):
         "repetition_stats",
         "contamination",
         "top_terms",
+        "funnel_dropoff",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name

@@ -136,3 +136,38 @@ def test_sequence_single_step(spark):
         within_us=10**9, id_col="eid",
     ).collect()
     assert [(r["start_id"], r["end_id"]) for r in got] == [(2, 2)]
+
+
+def test_absence_matches_planted_cases(spark):
+    """Negation CEP: same-ts purchase counts (inclusive interval),
+    in-horizon purchase suppresses, beyond-horizon does not, other
+    users never interfere."""
+    from kelos_on_kafka_spark.operators.temporal import absence_matches
+
+    rows = [
+        # (event_id, user, sec, type)
+        (1, 1, 100, "click"),      # purchase at 200 (in 1h) -> suppressed
+        (2, 1, 200, "purchase"),
+        (3, 2, 100, "click"),      # purchase at same ts -> suppressed
+        (4, 2, 100, "purchase"),
+        (5, 3, 100, "click"),      # purchase 2h later -> drop-off
+        (6, 3, 100 + 7200, "purchase"),
+        (7, 4, 100, "click"),      # no purchase at all -> drop-off
+        (8, 5, 50, "purchase"),    # purchase BEFORE click -> drop-off
+        (9, 5, 100, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, float(s), t) for e, u, s, t in rows],
+        "event_id long, user_id long, sec double, event_type string",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+    got = sorted(
+        (r.user_id, r.first_id)
+        for r in absence_matches(
+            ev, "user_id", "ts", "event_type",
+            "click", "purchase", 3_600_000_000, "event_id",
+        ).collect()
+    )
+    assert got == [(3, 5), (4, 7), (5, 9)]
