@@ -682,6 +682,25 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement (min-of-w portable
+    hashes; integer-only, no float pow/ln): 50 docs weighted by a
+    length-derived quality tier."""
+    from kelos_on_kafka_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "wt",
+        F.least(
+            F.lit(1) + F.floor(F.col("n_chars") / F.lit(150)), F.lit(8)
+        ).cast("int"),
+    )
+    return weighted_priority_sample(docs, "doc_id", "wt", n=50).select(
+        "doc_id", "priority"
+    )
+
+
 def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negation CEP: clicks with NO purchase by the same user within 1h
     (funnel drop-off) — one window pass, no join, no NOT-EXISTS
@@ -1567,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "redact_pii": q_redact_pii,
         "funnel_dropoff": q_funnel_dropoff,
+        "weighted_sample": q_weighted_sample,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "top_terms": q_top_terms,
@@ -2098,6 +2118,23 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        # same min-of-w md5 hash per weight unit on both engines
+        "weighted_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     least(1 + n_chars // 150, 8) AS wt
+              FROM documents
+            ), pri AS (
+              SELECT doc_id, min(cast(concat('0x', substr(md5(concat(
+                       '7:', cast(doc_id AS VARCHAR), ':',
+                       cast(i AS VARCHAR))), 1, 15)) AS BIGINT))
+                       AS priority
+              FROM w, unnest(generate_series(0, wt - 1)) AS t(i)
+              GROUP BY doc_id
+            )
+            SELECT doc_id, priority FROM pri
+            ORDER BY priority, doc_id LIMIT 50
         """,
         "funnel_dropoff": """
             SELECT c.user_id, c.event_id AS first_id,

@@ -98,3 +98,47 @@ def stratified_cap(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 7,
+    max_weight: int = 64,
+) -> DataFrame:
+    """EXACT weighted sampling without replacement, deterministic and
+    engine-portable: each row's priority is the MIN of ``w`` iid
+    portable hashes (one per weight unit) and the ``n`` smallest
+    priorities win.
+
+    Why this is exact: replicate each row into ``w`` copies, give every
+    copy an iid uniform, and scan copies in priority order — that is
+    uniform sampling over the weight multiset, so the order in which
+    DISTINCT rows first appear is successive sampling proportional to
+    remaining weights (weighted sampling without replacement).  A row's
+    first appearance is at its min copy priority — which is exactly
+    this operator's sort key.  Integer weights only (``max_weight``
+    bounds the per-row hash count); no float pow/ln, so there is no
+    cross-engine ulp hazard (cf. the measured JVM-vs-DuckDB ln
+    divergence documented at textstats.top_terms_tfidf).
+
+    Plan: a per-row O(w) projection then TakeOrdered (map-side partial
+    top-n, no global sort shuffle).  Returns the sampled rows plus
+    ``priority``."""
+    w = F.least(F.col(weight_col).cast("int"), F.lit(max_weight))
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), w - 1),
+            lambda i: _hash64(
+                F.concat_ws(":", F.col(id_col).cast("string"), i), seed
+            ),
+        )
+    )
+    return (
+        df.where(F.col(weight_col) >= 1)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(n)
+    )

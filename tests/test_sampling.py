@@ -96,3 +96,56 @@ def test_split_bounds_are_oracle_literal_exact():
     b2 = sampling.split_bounds(ws)
     assert sum([0.1] * 9) == 0.8999999999999999  # float accumulation
     assert b2[8][1] == 0.9  # exact accumulation, literal-safe
+
+
+def _py_weighted_priority(ids_weights, seed=7):
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16)
+
+    return {
+        i: min(h64(f"{i}:{j}") for j in range(w)) for i, w in ids_weights
+    }
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    rows = [(1, 1), (2, 4), (3, 2), (4, 8), (5, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, wt int")
+    got = {
+        r.doc_id: r.priority
+        for r in sampling.weighted_priority_sample(
+            df, "doc_id", "wt", n=3
+        ).collect()
+    }
+    ref = _py_weighted_priority(rows)
+    want = dict(sorted(ref.items(), key=lambda kv: (kv[1], kv[0]))[:3])
+    assert got == want
+    # stable under repartitioning
+    again = {
+        r.doc_id: r.priority
+        for r in sampling.weighted_priority_sample(
+            df.repartition(5), "doc_id", "wt", n=3
+        ).collect()
+    }
+    assert again == got
+
+
+def test_weighted_priority_is_proportional():
+    """Pure-Python statistical check of the scheme itself (no Spark):
+    over many seeds, the top-1 pick lands on a weight-4 item ~4x as
+    often as a weight-1 item."""
+    import hashlib
+
+    wins = {1: 0, 2: 0}
+    n_seeds = 400
+    for seed in range(n_seeds):
+        def h64(s):
+            return int(
+                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()[:15], 16
+            )
+        p1 = min(h64(f"a:{j}") for j in range(4))   # weight 4
+        p2 = min(h64(f"b:{j}") for j in range(1))   # weight 1
+        wins[1 if p1 < p2 else 2] += 1
+    frac = wins[1] / n_seeds
+    assert 0.72 <= frac <= 0.88  # expected 4/5 = 0.8
