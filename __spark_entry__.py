@@ -682,6 +682,30 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card: per (lang, source) doc/token totals, low-quality
+    and repetitive counts, exact-dup counts — all integers."""
+    return textstats.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+def q_cep_gap_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE quantifier case A B* Z: click, any number of
+    views, purchase within 24h — one window pass, no self-join."""
+    from kelos_on_kafka_spark.operators.temporal import gap_tolerant_matches
+
+    return gap_tolerant_matches(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        first_type="click",
+        last_type="purchase",
+        skip_type="view",
+        within_us=DAY_US,
+        id_col="event_id",
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted sampling without replacement (min-of-w portable
     hashes; integer-only, no float pow/ln): 50 docs weighted by a
@@ -1587,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "funnel_dropoff": q_funnel_dropoff,
         "weighted_sample": q_weighted_sample,
+        "cep_gap_tolerant": q_cep_gap_tolerant,
+        "corpus_report": q_corpus_report,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "top_terms": q_top_terms,
@@ -2118,6 +2144,90 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        # composes the quality_flags and repetition_stats oracle
+        # predicates, rolled up per (lang, source)
+        "corpus_report": """
+            WITH q AS (
+              SELECT doc_id, lang, source, md5(text) AS fp,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS nt,
+                     length(text) AS nc,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, trim(text) AS tt,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), grams AS (
+              SELECT doc_id, count(*) AS n_ngrams,
+                     count(DISTINCT shingle) AS n_distinct_ngrams
+              FROM sh GROUP BY 1
+            ), tokrows AS (
+              SELECT doc_id, unnest(t) AS tok FROM toks
+            ), modes AS (
+              SELECT doc_id, max(c) AS top_tok_n FROM (
+                SELECT doc_id, tok, count(*) AS c FROM tokrows
+                WHERE tok != '' GROUP BY 1, 2
+              ) GROUP BY 1
+            ), per_doc AS (
+              SELECT q.doc_id, q.lang, q.source, q.fp, q.nt,
+                     (q.nt < 5 OR 10 * q.nd > 3 * q.nc
+                      OR (CASE WHEN q.nt > 0
+                               THEN floor((100 * (q.nc - (q.nt - 1))) / q.nt)
+                               ELSE 0 END) > 1500) AS lowq,
+                     (5 * coalesce(m.top_tok_n, 0) > q.nt
+                      OR 2 * coalesce(g.n_distinct_ngrams, 0)
+                         < coalesce(g.n_ngrams, 0)) AS rep
+              FROM q
+              LEFT JOIN grams g ON g.doc_id = q.doc_id
+              LEFT JOIN modes m ON m.doc_id = q.doc_id
+            )
+            SELECT lang, source,
+                   count(*) AS n_docs,
+                   cast(sum(nt) AS BIGINT) AS n_tokens,
+                   cast(sum(CASE WHEN lowq THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_low_quality,
+                   cast(sum(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_repetitive,
+                   cast(count(*) - count(DISTINCT fp) AS BIGINT)
+                     AS n_exact_dups
+            FROM per_doc GROUP BY 1, 2
+        """,
+        "cep_gap_tolerant": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+              FROM events
+            ), p AS (
+              SELECT user_id, event_id, event_type, ts_us,
+                last_value(CASE WHEN event_type <> 'view'
+                                THEN event_type END IGNORE NULLS)
+                  OVER w AS prev_t,
+                last_value(CASE WHEN event_type <> 'view'
+                                THEN ts_us END IGNORE NULLS)
+                  OVER w AS prev_ts,
+                last_value(CASE WHEN event_type <> 'view'
+                                THEN event_id END IGNORE NULLS)
+                  OVER w AS prev_id
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)
+            )
+            SELECT user_id, prev_id AS start_id, event_id AS end_id,
+                   prev_ts AS start_ts_us, ts_us AS end_ts_us
+            FROM p
+            WHERE event_type = 'purchase' AND prev_t = 'click'
+              AND ts_us - prev_ts <= 86400000000
         """,
         # same min-of-w md5 hash per weight unit on both engines
         "weighted_sample": """

@@ -213,3 +213,64 @@ def absence_matches(
             F.col("__ts_us").alias("first_ts_us"),
         )
     )
+
+
+def gap_tolerant_matches(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    first_type: str,
+    last_type: str,
+    skip_type: str,
+    within_us: int,
+    id_col: str,
+) -> DataFrame:
+    """``A skip* Z`` pattern per key: emit every ``last_type`` event
+    whose nearest preceding non-``skip_type`` event is a ``first_type``
+    within ``within_us`` — the MATCH_RECOGNIZE quantifier case
+    ``A B* Z`` (e.g. click, any number of scrolls, purchase), which
+    strict-consecutive ``sequence_matches`` cannot express.
+
+    Plan: one window pass per key — each row's latest preceding
+    non-skip (type, ts, id) via ``last_value(... ignore nulls)`` over
+    the preceding-exclusive frame, then a filter.  One shuffle on the
+    key; no self-join.
+
+    Returns (key, start_id, end_id, start_ts_us, end_ts_us)."""
+    df = events.select(
+        key_col,
+        F.col(id_col).alias("__id"),
+        epoch_us(ts_col).alias("__ts_us"),
+        F.col(type_col).alias("__type"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__ts_us").asc(), F.col("__id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_skip = F.when(
+        F.col("__type") != F.lit(skip_type),
+        F.struct(
+            F.col("__type").alias("t"),
+            F.col("__ts_us").alias("ts"),
+            F.col("__id").alias("id"),
+        ),
+    )
+    prev = F.last(non_skip, ignorenulls=True).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .where(
+            (F.col("__type") == F.lit(last_type))
+            & F.col("__prev").isNotNull()
+            & (F.col("__prev.t") == F.lit(first_type))
+            & (F.col("__ts_us") - F.col("__prev.ts") <= F.lit(within_us))
+        )
+        .select(
+            key_col,
+            F.col("__prev.id").alias("start_id"),
+            F.col("__id").alias("end_id"),
+            F.col("__prev.ts").alias("start_ts_us"),
+            F.col("__ts_us").alias("end_ts_us"),
+        )
+    )

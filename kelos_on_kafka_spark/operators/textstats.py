@@ -427,3 +427,50 @@ def top_terms_tfidf(
             ).alias("tfidf"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple = ("lang", "source"),
+) -> DataFrame:
+    """The data card: per (lang, source) cell — doc/token totals,
+    low-quality and repetitive fractions (as exact counts), and the
+    exact-duplicate rate (docs minus distinct md5 fingerprints) — the
+    one table a pretraining run publishes about its corpus and the
+    first thing reviewers ask for (composition + contamination
+    surface).
+
+    Everything is an integer count so the oracle comparison is exact;
+    consumers derive the fractions.  Scale shape: per-doc stats are the
+    zero-shuffle projections above; the rollup is a single map-side-
+    combinable aggregation on the (low-cardinality) group key."""
+    per_doc = repetition_stats(df, id_col=id_col, text_col=text_col)
+    qual = quality_flags(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "is_low_quality"
+    )
+    meta = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in group_cols],
+        F.md5(F.col(text_col)).alias("__fp"),
+    )
+    joined = meta.join(per_doc, "doc_id").join(qual, "doc_id")
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("is_low_quality").cast("long"))
+            .cast("long")
+            .alias("n_low_quality"),
+            F.sum(F.col("repetitive").cast("long"))
+            .cast("long")
+            .alias("n_repetitive"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.col("__fp"))
+            )
+            .cast("long")
+            .alias("n_exact_dups"),
+        )
+    )

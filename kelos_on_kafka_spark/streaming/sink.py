@@ -91,3 +91,64 @@ def write_outlier_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def write_routed_stream(
+    events: DataFrame,
+    route_col: str,
+    paths: dict,
+    checkpoint: str,
+    batch_col: str = "batch_id",
+    trigger: dict | None = None,
+):
+    """Quality-gate routing sink: one input stream fans out to one
+    parquet table per value of ``route_col`` (e.g. clean/flagged from a
+    quality predicate) inside a single foreachBatch — one stream, one
+    checkpoint, N destinations, still exactly-once.
+
+    Idempotence: each destination batch writes with dynamic partition
+    overwrite on ``batch_col`` (the micro-batch id), so a replayed
+    batch rewrites ITS OWN partition with the same rows instead of
+    appending duplicates — the same replay contract as
+    ``write_outlier_stream``.  Routes not present in ``paths`` raise,
+    so a typo'd predicate cannot silently drop data.
+
+    Scale: the batch is persisted once and filtered per route (N scans
+    of cached data, not N source reads); at very large N switch to a
+    single ``partitionBy(route_col)`` write — kept per-path here so
+    each route can go to a different table/bucket."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.persist()
+        try:
+            routes = [
+                r[0]
+                for r in batch_df.select(route_col).distinct().collect()
+            ]
+            unknown = set(routes) - set(paths)
+            if unknown:
+                raise ValueError(
+                    f"unrouted {route_col} values: {sorted(unknown)}"
+                )
+            for route in routes:
+                (
+                    batch_df.where(F.col(route_col) == F.lit(route))
+                    .withColumn(batch_col, F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(batch_col)
+                    .parquet(paths[route])
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

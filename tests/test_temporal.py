@@ -171,3 +171,33 @@ def test_absence_matches_planted_cases(spark):
         ).collect()
     )
     assert got == [(3, 5), (4, 7), (5, 9)]
+
+
+def test_gap_tolerant_matches_planted_cases(spark):
+    """A view* Z: views between click and purchase are skipped; any
+    other intervening non-skip type breaks the match; horizon bounds."""
+    from kelos_on_kafka_spark.operators.temporal import gap_tolerant_matches
+
+    rows = [
+        (1, 1, 100, "click"), (2, 1, 110, "view"), (3, 1, 120, "view"),
+        (4, 1, 130, "purchase"),                      # match 1->4
+        (5, 2, 100, "click"), (6, 2, 110, "error"),
+        (7, 2, 120, "purchase"),                      # error breaks it
+        (8, 3, 100, "click"), (9, 3, 100 + 90000, "purchase"),  # >24h
+        (10, 4, 100, "purchase"),                     # no preceding A
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, float(s), t) for e, u, s, t in rows],
+        "event_id long, user_id long, sec double, event_type string",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds("sec").alias("ts"),
+    )
+    got = sorted(
+        (r.user_id, r.start_id, r.end_id)
+        for r in gap_tolerant_matches(
+            ev, "user_id", "ts", "event_type",
+            "click", "purchase", "view", 86_400_000_000, "event_id",
+        ).collect()
+    )
+    assert got == [(1, 1, 4)]
