@@ -267,6 +267,20 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_PLANES = similarity.md5_planes(seed=41, n_planes=4, dim=64)
 
 
+_PQ_BOOKS = similarity.md5_codebooks(seed=43, m=4, k_sub=8, subdim=16)
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (encode -> per-probe ADC table -> m
+    lookups per pair): literal md5 codebooks reproduce codes AND
+    asymmetric distances bit-exactly in DuckDB; production swaps in
+    train_pq_codebooks (KMeans per subspace), same plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, probe_ids=list(range(20)), codebooks=_PQ_BOOKS, k=5
+    )
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN via random-hyperplane LSH buckets (oracle-checked:
     literal md5-derived hyperplanes reproduce the buckets in DuckDB)."""
@@ -1555,6 +1569,60 @@ def _knn_lsh_sql(
     """
 
 
+def _knn_pq_sql(
+    books: list[list[list[float]]], k: int = 5, probe_max: int = 20
+) -> str:
+    """PQ oracle: codebook components are the SAME float literals the
+    Spark plan uses and every distance is the same left-to-right add
+    chain, so codes (argmin) and ADC sums match bit-exactly.  The
+    probe's per-subspace distance lists double as the lookup tables."""
+    m = len(books)
+    sd = len(books[0][0])
+
+    def dist(j: int, centroid: list[float]) -> str:
+        terms = " + ".join(
+            f"(v[{j * sd + i + 1}] - ({c!r})) * (v[{j * sd + i + 1}] - ({c!r}))"
+            for i, c in enumerate(centroid)
+        )
+        return f"0.0 + {terms}"
+
+    def dlist(j: int) -> str:
+        return "[" + ", ".join(dist(j, c) for c in books[j]) + "]"
+
+    lists = ",\n             ".join(
+        f"{dlist(j)} AS l{j}" for j in range(m)
+    )
+    codes = ", ".join(
+        f"list_position(l{j}, list_min(l{j})) AS code{j}" for j in range(m)
+    )
+    adc = " + ".join(f"p.l{j}[e.code{j}]" for j in range(m))
+    return f"""
+    WITH c AS (
+      SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), lst AS (
+      SELECT vec_id, v,
+             {lists}
+      FROM c
+    ), enc AS (
+      SELECT vec_id, {codes} FROM lst
+    ), p AS (
+      SELECT vec_id AS probe_id, {", ".join(f"l{j}" for j in range(m))}
+      FROM lst WHERE vec_id < {probe_max}
+    ), s AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             0.0 + {adc} AS approx_dist
+      FROM p JOIN enc e ON e.vec_id != p.probe_id
+    ), r AS (
+      SELECT probe_id, neighbor_id, approx_dist,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY approx_dist ASC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT probe_id, rn AS rank, neighbor_id, approx_dist AS dist
+    FROM r WHERE rn <= {k}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kelos_topn": q_kelos_topn,
@@ -1577,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1845,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
         "knn_lsh": _knn_lsh_sql(_KNN_PLANES, k=5, probe_max=20),
+        "knn_pq": _knn_pq_sql(_PQ_BOOKS, k=5, probe_max=20),
         "embedding_near_dups": _embedding_near_dups_sql(
             _KNN_PLANES, threshold=0.35
         ),

@@ -399,3 +399,195 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id")
     )
+
+
+def md5_codebooks(
+    seed: int, m: int, k_sub: int, subdim: int
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (m subspaces x k_sub centroids x
+    subdim components) derived from md5 exactly like ``md5_planes`` —
+    the same float constants embed as literals in an external SQL
+    oracle, so the full PQ pipeline (encode + ADC) is cross-engine
+    verifiable.  Production swaps in ``train_pq_codebooks`` (KMeans);
+    the plan shape is identical."""
+    return [
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(
+                            f"{seed}:{j}:{c}:{i}".encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    - 2**59
+                )
+                / 2**59
+                for i in range(subdim)
+            ]
+            for c in range(k_sub)
+        ]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 41,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Train real PQ codebooks: one distributed KMeans per subspace
+    over the sliced sub-vectors (pyspark.ml, same machinery as
+    ``train_ivf_centroids``).  Train on a SAMPLE at scale; the result
+    is m*k_sub*subdim floats — tiny, broadcast as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    d = len(embeddings.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    books = []
+    base = embeddings.select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    )
+    for j in range(m):
+        ds = base.select(
+            array_to_vector(
+                F.slice(F.col("v"), j * sd + 1, sd)
+            ).alias("features")
+        )
+        model = KMeans(
+            k=k_sub, seed=seed + j, maxIter=max_iter, initMode="k-means||"
+        ).fit(ds)
+        books.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return books
+
+
+def _pq_subdist(vec, j: int, centroid: list[float], sd: int):
+    """Squared L2 distance of ``vec``'s j-th sub-vector to a literal
+    centroid as an explicit sequential add chain — same float-op order
+    as the generated oracle SQL."""
+    acc = F.lit(0.0)
+    for i, comp in enumerate(centroid):
+        diff = F.element_at(vec, j * sd + i + 1) - F.lit(float(comp))
+        acc = acc + diff * diff
+    return acc
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization approximate top-k — the third ANN scale
+    path next to hyperplane LSH and IVF, and the one that COMPRESSES:
+    each vector is stored as m small codes (m bytes at k_sub<=256)
+    instead of d doubles, so a 10^12-vector index fits a memory budget
+    d/m * 8x smaller.
+
+    Plan (the asymmetric-distance shape of Jegou et al.'s PQ):
+    - encode: per subspace, each corpus vector's nearest literal
+      centroid (argmin over k_sub explicit distance expressions) —
+      a zero-shuffle projection; only (id, m codes) flow on;
+    - probes compute their per-subspace distance TABLE once
+      (k_sub * m doubles per probe) and broadcast;
+    - ADC: approx dist = sum over subspaces of table[code] — m array
+      lookups per (probe, neighbor) pair, never d multiplies;
+    - per-probe top-k window on the approximate distance.
+
+    ``rerank > 0`` adds the standard accuracy stage: an ADC shortlist
+    of that size per probe is re-scored with EXACT L2 (joining the raw
+    vectors back for shortlist rows only — at scale that is k' << N
+    vector fetches per probe, the d-dim math never touches the full
+    corpus).  Returns (probe_id, rank, neighbor_id, dist) ranked by
+    (dist asc, neighbor_id asc); ``dist`` is the ADC approximation
+    when rerank=0, the exact squared L2 after re-ranking otherwise."""
+    m = len(codebooks)
+    k_sub = len(codebooks[0])
+    sd = len(codebooks[0][0])
+    corpus = fan_out(embeddings).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def code_col(j: int):
+        dists = F.array(
+            *[_pq_subdist(F.col("vec"), j, codebooks[j][c], sd) for c in range(k_sub)]
+        )
+        return F.array_position(dists, F.array_min(dists)).alias(f"code{j}")
+
+    encoded = corpus.select("vid", *[code_col(j) for j in range(m)])
+    probes = corpus.where(
+        F.col("vid").isin([int(p) for p in probe_ids])
+    ).select(
+        F.col("vid").alias("probe_id"),
+        *[
+            F.array(
+                *[
+                    _pq_subdist(F.col("vec"), j, codebooks[j][c], sd)
+                    for c in range(k_sub)
+                ]
+            ).alias(f"t{j}")
+            for j in range(m)
+        ],
+    )
+    joined = encoded.join(F.broadcast(probes)).where(
+        F.col("vid") != F.col("probe_id")
+    )
+    approx = F.lit(0.0)
+    for j in range(m):
+        approx = approx + F.element_at(F.col(f"t{j}"), F.col(f"code{j}").cast("int"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    adc_ranked = (
+        joined.select(
+            "probe_id",
+            F.col("vid").alias("neighbor_id"),
+            approx.alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    if not rerank:
+        return adc_ranked.where(F.col("rank") <= k).select(
+            "probe_id", "rank", "neighbor_id", "dist"
+        )
+    shortlist = adc_ranked.where(F.col("rank") <= max(rerank, k)).select(
+        "probe_id", "neighbor_id"
+    )
+    pvecs = corpus.where(
+        F.col("vid").isin([int(p) for p in probe_ids])
+    ).select(F.col("vid").alias("probe_id"), F.col("vec").alias("pvec"))
+    exact = (
+        shortlist.join(
+            corpus.select(F.col("vid").alias("neighbor_id"), "vec"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(pvecs), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("pvec"), F.col("vec"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", "dist")
+    )
