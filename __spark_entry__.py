@@ -696,6 +696,54 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab: doc counts per source pivoted over the four languages
+    + 'other' (explicit pivot values keep the output schema static —
+    the form that scales: no driver-side distinct-value scan)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lg",
+        F.when(
+            F.col("lang").isin("en", "de", "fr", "es"), F.col("lang")
+        ).otherwise(F.lit("other")),
+    )
+    out = (
+        docs.groupBy("source")
+        .pivot("lg", ["en", "de", "fr", "es", "other"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(f"n_{c}")
+            for c in ("en", "de", "fr", "es", "other")
+        ],
+    )
+
+
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling mean over the last 5 events (rows frame) —
+    the moving-average analytics window; DECIMAL-summed for the exact
+    cross-engine contract, count emitted so consumers see the warm-up
+    rows."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(windowing.epoch_us("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("roll_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("roll_n"),
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data card: per (lang, source) doc/token totals, low-quality
     and repetitive counts, exact-dup counts — all integers."""
@@ -1682,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "cep_gap_tolerant": q_cep_gap_tolerant,
         "corpus_report": q_corpus_report,
+        "pivot_lang_source": q_pivot_lang_source,
+        "rolling_avg": q_rolling_avg,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "top_terms": q_top_terms,
@@ -2214,6 +2264,30 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_id,
                    count(*) AS n_assets
             FROM documents GROUP BY 1
+        """,
+        "pivot_lang_source": """
+            SELECT source,
+                   cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_en,
+                   cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_de,
+                   cast(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_fr,
+                   cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_es,
+                   cast(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+            FROM documents GROUP BY source
+        """,
+        "rolling_avg": """
+            SELECT user_id, event_id,
+                   cast(sum(cast(value AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE) AS roll_sum,
+                   cast(count(*) OVER w AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         # composes the quality_flags and repetition_stats oracle
         # predicates, rolled up per (lang, source)

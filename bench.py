@@ -196,6 +196,13 @@ def main() -> None:
         "repetition_stats",
         "contamination",
         "top_terms",
+        "funnel_dropoff",
+        "cep_gap_tolerant",
+        "weighted_sample",
+        "corpus_report",
+        "knn_pq",
+        "pivot_lang_source",
+        "rolling_avg",
     ]
     total = kelos_secs
     for name in bench_queries:
