@@ -526,7 +526,16 @@ def pq_topk(
         )
         return F.array_position(dists, F.array_min(dists)).alias(f"code{j}")
 
-    encoded = corpus.select("vid", *[code_col(j) for j in range(m)])
+    # materialize codes and probe tables ONCE (eager localCheckpoint):
+    # a real PQ index stores the codes — and without the barrier
+    # Catalyst's projection collapse inlines the full encode expression
+    # into the per-(probe, neighbor) projection, turning an O(N)
+    # encode into O(N * n_probes) work (measured 11 s -> 0.9 s at
+    # sf0.1).  At scale the encoded table is written to storage; this
+    # is the in-session equivalent.
+    encoded = corpus.select(
+        "vid", *[code_col(j) for j in range(m)]
+    ).localCheckpoint(True)
     probes = corpus.where(
         F.col("vid").isin([int(p) for p in probe_ids])
     ).select(
@@ -540,7 +549,7 @@ def pq_topk(
             ).alias(f"t{j}")
             for j in range(m)
         ],
-    )
+    ).localCheckpoint(True)
     joined = encoded.join(F.broadcast(probes)).where(
         F.col("vid") != F.col("probe_id")
     )
