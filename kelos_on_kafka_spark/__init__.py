@@ -30,8 +30,20 @@ __all__ = [
     "record_stream_metrics",
     "upsert_partitioned",
     "compact_partitions",
+    "dedup_decisions",
+    "repetition_stats",
+    "contamination",
+    "top_terms_tfidf",
+    "corpus_report",
+    "weighted_priority_sample",
+    "absence_matches",
+    "gap_tolerant_matches",
+    "pq_topk",
+    "train_pq_codebooks",
+    "stream_bloom_dedup",
+    "write_routed_stream",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 _LAZY = {
     "stream_near_dup_pairs": ("kelos_on_kafka_spark.streaming.dedup_stream", None),
@@ -46,6 +58,18 @@ _LAZY = {
     "record_stream_metrics": ("kelos_on_kafka_spark.plans.lineage", None),
     "upsert_partitioned": ("kelos_on_kafka_spark.plans.maintenance", None),
     "compact_partitions": ("kelos_on_kafka_spark.plans.maintenance", None),
+    "dedup_decisions": ("kelos_on_kafka_spark.operators.dedup", None),
+    "repetition_stats": ("kelos_on_kafka_spark.operators.textstats", None),
+    "contamination": ("kelos_on_kafka_spark.operators.textstats", None),
+    "top_terms_tfidf": ("kelos_on_kafka_spark.operators.textstats", None),
+    "corpus_report": ("kelos_on_kafka_spark.operators.textstats", None),
+    "weighted_priority_sample": ("kelos_on_kafka_spark.operators.sampling", None),
+    "absence_matches": ("kelos_on_kafka_spark.operators.temporal", None),
+    "gap_tolerant_matches": ("kelos_on_kafka_spark.operators.temporal", None),
+    "pq_topk": ("kelos_on_kafka_spark.operators.similarity", None),
+    "train_pq_codebooks": ("kelos_on_kafka_spark.operators.similarity", None),
+    "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),
+    "write_routed_stream": ("kelos_on_kafka_spark.streaming.sink", None),
 }
 
 
