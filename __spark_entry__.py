@@ -1171,6 +1171,89 @@ def q_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("pane_id", "key_h1", "row_id", "ts_us")
 
 
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: first
+    event per (user, type) on the REAL stream.  A span-covering
+    watermark makes every duplicate pair fall within the horizon, and
+    the single sorted staging file fixes arrival order, so 'first
+    received' == min (ts, event_id) — the oracle's window pick.  (The
+    single upstream partition preserves per-reducer arrival order
+    through the key exchange.)"""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.relational import stream_dedup_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    span_s = int((row["hi"] - row["lo"]) // 1_000_000) + 3600
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    (
+        ev.coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id bigint, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/data")
+    name = f"sdedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_dedup_exact(
+            stream,
+            key_cols=["user_id", "event_type"],
+            ts_col="ts",
+            watermark=f"{span_s} seconds",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (purchases hold a
+    session open 1h, everything else 30min) — Spark's session_window
+    gap expression; oracle is the running-max islands formulation
+    (empirically pinned: an event at exactly a session's end merges
+    into it, so a new island starts strictly past the running max)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p95 per event type.  Spark's ``percentile`` and
     DuckDB's ``quantile_cont`` share the linear-interpolation definition
@@ -1740,6 +1823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_interval_join_left": q_stream_interval_join_left,
         "stream_bloom_dedup": q_stream_bloom_dedup,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "session_dynamic_gap": q_session_dynamic_gap,
     }
 
 
@@ -2547,6 +2632,45 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT pane_id, key_h1, row_id, ts_us FROM e WHERE rn = 1
+        """,
+        "session_dynamic_gap": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 3600000000 ELSE 1800000000 END AS gap_us
+              FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts_us, gap_us,
+                     max(ts_us + gap_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM e
+            ), isl AS (
+              SELECT user_id, ts_us, gap_us,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR ts_us > prev_end THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us + gap_us) AS session_end_us,
+                   count(*) AS n_events
+            FROM isl GROUP BY user_id, sid
+        """,
+        "stream_dedup_exact": """
+            WITH e AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS rn
+              FROM events
+            )
+            SELECT user_id, event_type, event_id, ts_us
+            FROM e WHERE rn = 1
         """,
         "stream_interval_join_left": """
             SELECT c.event_id AS click_id, p.event_id AS purchase_id
