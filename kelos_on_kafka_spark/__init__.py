@@ -42,6 +42,7 @@ __all__ = [
     "train_pq_codebooks",
     "stream_bloom_dedup",
     "write_routed_stream",
+    "expire_partitions",
 ]
 __version__ = "0.3.0"
 
@@ -70,6 +71,7 @@ _LAZY = {
     "train_pq_codebooks": ("kelos_on_kafka_spark.operators.similarity", None),
     "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),
     "write_routed_stream": ("kelos_on_kafka_spark.streaming.sink", None),
+    "expire_partitions": ("kelos_on_kafka_spark.plans.maintenance", None),
 }
 
 

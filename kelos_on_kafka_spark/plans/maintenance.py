@@ -104,3 +104,42 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_predicate,
+) -> list:
+    """Retention: DELETE every partition of a partitioned parquet table
+    whose value fails ``keep_predicate`` (a Python callable over the
+    partition value) — the time-based expiry an append/upsert table
+    needs so state does not grow forever (Iceberg's expire-snapshots /
+    `DELETE WHERE partition < X` analogue; swap in the catalog call in
+    a cataloged deployment).
+
+    Deletion is directory-level through the Hadoop FS — no row rewrite,
+    no read of surviving partitions.  Returns the list of dropped
+    partition values.  The predicate sees the STRING form Spark encodes
+    in the directory name (partition values are stored as strings in
+    hive-style layout); compare accordingly."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    dropped = []
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if not keep_predicate(value):
+            fs.delete(status.getPath(), True)
+            dropped.append(value)
+    return dropped

@@ -159,3 +159,26 @@ def test_upsert_raises_on_unreadable_existing_table(spark, tmp_path):
     assert set(remaining) == set(data_files)
     with open(remaining[0], "rb") as fh:
         assert fh.read().startswith(b"this is not")
+
+
+def test_expire_partitions_drops_only_expired(spark, tmp_path):
+    """Retention deletes failing partitions directory-level; survivors
+    are byte-untouched and still readable."""
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)  # partitions d1, d2, d3
+    before = {f for f in glob.glob(f"{path}/day=d1/*.parquet")}
+    dropped = M.expire_partitions(
+        spark, path, "day", lambda v: v >= "d2"
+    )
+    assert dropped == ["d1"]
+    assert not os.path.exists(f"{path}/day=d1")
+    assert _read(spark, path) == {
+        (3, "d2", "c"), (4, "d3", "d"),
+    }
+    # idempotent on re-run
+    assert M.expire_partitions(spark, path, "day", lambda v: v >= "d2") == []
+    # missing table is a no-op
+    assert (
+        M.expire_partitions(spark, str(tmp_path / "nope"), "day", lambda v: True)
+        == []
+    )
