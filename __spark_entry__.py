@@ -1755,11 +1755,44 @@ def _knn_pq_sql(
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDERING IS LOAD-BEARING: the external driver's correctness gate
+    records only the FIRST 50 dict entries, so queries that have never
+    had a driver CORRECTNESS row (new this round, or rotated out by a
+    past insertion) MUST occupy the front of the dict; long-driver-green
+    relational queries rotate to the back, where the byte-compatible
+    local mirror (tests/test_entry_oracle.py) still regression-guards
+    them every pytest run.  tests/test_registry_order.py enforces this
+    against the committed CORRECTNESS_r*.json artifacts — never append a
+    new query at the end."""
     return {
+        # --- never driver-gated before round 4 (registry was >50) ---
+        "det_sample": q_det_sample,
+        "value_percentiles": q_value_percentiles,
+        "redact_pii": q_redact_pii,
+        "funnel_dropoff": q_funnel_dropoff,
+        "weighted_sample": q_weighted_sample,
+        "cep_gap_tolerant": q_cep_gap_tolerant,
+        "corpus_report": q_corpus_report,
+        "pivot_lang_source": q_pivot_lang_source,
+        "rolling_avg": q_rolling_avg,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
+        "top_terms": q_top_terms,
+        "stream_topn": q_stream_topn,
+        "stream_distinct": q_stream_distinct,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_interval_join_left": q_stream_interval_join_left,
+        "stream_bloom_dedup": q_stream_bloom_dedup,
+        "stream_dedup_exact": q_stream_dedup_exact,
+        "session_dynamic_gap": q_session_dynamic_gap,
+        # --- new in round 4 ---
+        # --- KELOS debug surface (rows-only by design; keep gated) ---
         "kelos_topn": q_kelos_topn,
         "kelos_assignments": q_kelos_assignments,
         "kelos_clusters": q_kelos_clusters,
         "kelos_candidates": q_kelos_candidates,
+        # --- long driver-green (r1-r3); fill the window to 50, rest
+        # --- rotate behind the gate under local-mirror guard ---
         "pane_agg": q_pane_agg,
         "sliding_window": q_sliding_window,
         "session_windows": q_session_windows,
@@ -1806,25 +1839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_panes": q_rollup_panes,
         "hash_split": q_hash_split,
         "stratified_cap": q_stratified_cap,
-        "det_sample": q_det_sample,
-        "value_percentiles": q_value_percentiles,
-        "redact_pii": q_redact_pii,
-        "funnel_dropoff": q_funnel_dropoff,
-        "weighted_sample": q_weighted_sample,
-        "cep_gap_tolerant": q_cep_gap_tolerant,
-        "corpus_report": q_corpus_report,
-        "pivot_lang_source": q_pivot_lang_source,
-        "rolling_avg": q_rolling_avg,
-        "repetition_stats": q_repetition_stats,
-        "contamination": q_contamination,
-        "top_terms": q_top_terms,
-        "stream_topn": q_stream_topn,
-        "stream_distinct": q_stream_distinct,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_interval_join_left": q_stream_interval_join_left,
-        "stream_bloom_dedup": q_stream_bloom_dedup,
-        "stream_dedup_exact": q_stream_dedup_exact,
-        "session_dynamic_gap": q_session_dynamic_gap,
     }
 
 
@@ -2360,7 +2374,8 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_fr,
                    cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_es,
-                   cast(sum(CASE WHEN lang NOT IN ('en','de','fr','es')
+                   cast(sum(CASE WHEN lang IS NULL
+                                   OR lang NOT IN ('en','de','fr','es')
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_other
             FROM documents GROUP BY source
         """,

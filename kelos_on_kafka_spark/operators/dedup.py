@@ -444,12 +444,20 @@ def dedup_decisions(
     n_bands: int = 4,
     rows_per_band: int = 4,
     portable: bool = False,
+    groups: DataFrame | None = None,
 ) -> DataFrame:
     """The composed dedup VERDICT table — one row per document:
     (doc_id, keeper_id, reason) with reason in ('keep', 'exact',
     'near').  This is the artifact a pretraining pipeline actually
     consumes: filter ``reason = 'keep'`` for the corpus, or join the
     keeper for provenance.
+
+    ``groups``: a precomputed ``near_dup_groups`` result
+    (doc_id, group_id) to consume instead of re-running the
+    LSH + connected-components pipeline — the production shape, where
+    groups are materialized once per corpus snapshot and every
+    downstream verdict reads the table.  Same output either way (a
+    test pins the two paths equal).
 
     Precedence is deterministic and repartition-stable: an exact
     duplicate (identical text, keeper = min doc_id of the fingerprint
@@ -470,16 +478,19 @@ def dedup_decisions(
     with_exact = docs.select(
         "doc_id", F.min("doc_id").over(exact_w).alias("exact_keeper")
     )
-    near = near_dup_groups(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        n_hashes=n_hashes,
-        shingle_words=shingle_words,
-        n_bands=n_bands,
-        rows_per_band=rows_per_band,
-        portable=portable,
-    ).select("doc_id", F.col("group_id").alias("near_keeper"))
+    if groups is None:
+        groups = near_dup_groups(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            n_hashes=n_hashes,
+            shingle_words=shingle_words,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            portable=portable,
+        )
+    # near_dup_groups contract: columns (doc_id, group_id)
+    near = groups.select("doc_id", F.col("group_id").alias("near_keeper"))
     is_exact_dup = F.col("exact_keeper") != F.col("doc_id")
     is_near_dup = F.col("near_keeper").isNotNull() & (
         F.col("near_keeper") != F.col("doc_id")

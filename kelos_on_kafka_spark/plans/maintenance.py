@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from kelos_on_kafka_spark.plans import fsutil
+
 
 def upsert_partitioned(
     updates: DataFrame,
@@ -34,15 +36,13 @@ def upsert_partitioned(
     (an update may not move a row across partitions — same rule Hive/
     Iceberg MERGE with partition pruning relies on)."""
     spark = updates.sparkSession
-    # Existence is checked through the Hadoop FS, not by catching the
-    # read error: a transient read failure (corrupt footer, permission)
-    # on an EXISTING table must propagate, never fall through to the
-    # first-write full overwrite (that path would replace the table
-    # with just this updates batch).
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):  # first write: no table yet
+    # Existence is checked through the filesystem (fsutil.path_exists:
+    # NotFound -> False, I/O / permission errors RAISE), not by catching
+    # the read error: a transient read failure (corrupt footer,
+    # permission) on an EXISTING table must propagate, never fall
+    # through to the first-write full overwrite (that path would
+    # replace the table with just this updates batch).
+    if not fsutil.path_exists(path):  # first write: no table yet
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(
             path
         )
@@ -124,22 +124,13 @@ def expire_partitions(
     partition values.  The predicate sees the STRING form Spark encodes
     in the directory name (partition values are stored as strings in
     hive-style layout); compare accordingly."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(conf)
-    if not fs.exists(root):
-        return []
     dropped = []
     prefix = f"{partition_col}="
-    for status in fs.listStatus(root):
-        if not status.isDirectory():
-            continue
-        name = status.getPath().getName()
+    for name, full_path in fsutil.list_subdirs(path):
         if not name.startswith(prefix):
             continue
         value = name[len(prefix):]
         if not keep_predicate(value):
-            fs.delete(status.getPath(), True)
+            fsutil.delete_dir(full_path)
             dropped.append(value)
     return dropped

@@ -117,12 +117,17 @@ def salted_join(
     duplicate rows — pass an explicit row-id column in that case)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    if salt_cols is not None and set(salt_cols) <= set(on):
+    salt_src = salt_cols if salt_cols is not None else list(big.columns)
+    # applies to the derived default too: a big side carrying ONLY the
+    # join-key columns would otherwise get a per-key-constant salt and
+    # the salting would silently do nothing
+    if set(salt_src) <= set(on):
         raise ValueError(
-            "salt_cols ⊆ join keys gives a per-key-constant salt "
-            "(zero skew spreading); pass columns that vary within a key"
+            "salt source columns ⊆ join keys gives a per-key-constant "
+            "salt (zero skew spreading); pass salt_cols that vary "
+            "within a key (a row id, a payload hash)"
         )
-    salted_big = with_salt(big, n_salts, salt_cols or list(big.columns))
+    salted_big = with_salt(big, n_salts, salt_src)
     # sequence(int, int) yields array<int>, matching with_salt's int cast
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

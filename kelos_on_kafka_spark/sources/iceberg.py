@@ -45,12 +45,19 @@ def iceberg_conf(
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    """True iff the Iceberg Spark runtime is on the JVM classpath —
+    probed through the public DataSource lookup (no ``spark._jvm``,
+    works under Spark Connect): a missing runtime surfaces as
+    DATA_SOURCE_NOT_FOUND; any other error (e.g. the probe path not
+    existing) proves the source resolved."""
     try:
-        spark._jvm.java.lang.Class.forName(CATALOG_IMPL)
+        spark.read.format("iceberg").load("/__iceberg_probe_nonexistent__")
         return True
-    except Exception:
-        return False
+    except Exception as e:  # noqa: BLE001 — classify by error condition
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
+            return False
+        return True
 
 
 def read_pages(spark: SparkSession, ref: str) -> DataFrame:

@@ -82,10 +82,17 @@ def _make_bloom_fn(n_bits: int, k: int, pane_us: int):
             # still arrive for it — drop the filter
             state.remove()
             return
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts_us", "key_h1", "row_id"])
+        # Concatenate ALL Arrow chunks before the single sort: a pane's
+        # batch arrives as multiple chunks above
+        # spark.sql.execution.arrow.maxRecordsPerBatch rows, and a
+        # per-chunk sort would make the surviving row (and which rare FP
+        # fires) depend on the chunk split — the determinism contract
+        # requires one global (ts, key-hash, row) order per pane/batch.
+        chunks = [pdf for pdf in batches if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "key_h1", "row_id"]
+            )
             for h1, h2, rid, ts in zip(
                 pdf["key_h1"].astype("int64"),
                 pdf["key_h2"].astype("int64"),

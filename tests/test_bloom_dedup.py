@@ -113,6 +113,61 @@ def test_bloom_dedup_matches_python_reference_with_fps(spark, tmp_path):
     assert len(got) < len(rows)  # FPs actually fired
 
 
+def test_bloom_dedup_multi_chunk_batches_keep_global_order(spark, tmp_path):
+    """ADVICE r03: above arrow.maxRecordsPerBatch rows a pane's batch
+    arrives as MULTIPLE pandas chunks; the operator must sort the
+    concatenated batch once, not per chunk, or the surviving row
+    becomes chunk-split-dependent.  Force 16-row chunks, stage rows in
+    REVERSE ts order (so per-chunk processing would pick late-ts
+    survivors), and require the global (ts, key, row) order the pure
+    reference computes."""
+    rows = [(i, 500 - i, i % 5) for i in range(60)]  # sec 441..500 desc
+    src = str(tmp_path / f"src_{uuid.uuid4().hex[:8]}")
+    (
+        spark.createDataFrame(rows, "event_id long, sec long, user_id long")
+        .coalesce(1)
+        .sortWithinPartitions(F.col("sec").desc())  # arrival = reverse time
+        .select(
+            "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+        )
+        .write.parquet(src)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        name = f"bloom_{uuid.uuid4().hex[:10]}"
+        q = (
+            bloom_dedup.stream_bloom_dedup(
+                stream,
+                key_col="user_id",
+                ts_col="ts",
+                id_col="event_id",
+                pane_seconds=1000,
+                n_bits=1 << 16,
+                k=4,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.pane_id, r.key_h1, r.row_id, r.ts_us)
+            for r in spark.table(name).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == _py_reference(rows, 1 << 16, 4, 1000)
+    # survivors are the EARLIEST-ts occurrence of each key (sec 441-445
+    # end of the staged file), provable only under the global sort
+    assert {ts // 1_000_000 for _, _, _, ts in got} == {441, 442, 443, 444, 445}
+
+
 def test_bloom_dedup_rerun_is_identical(spark, tmp_path):
     rows = [(i, 10 + (i % 7), i % 11) for i in range(50)]
     a = sorted(map(tuple, _run_stream(spark, tmp_path, rows, 1 << 10, k=3)))

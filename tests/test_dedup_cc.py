@@ -225,6 +225,48 @@ def test_dedup_decisions_composed_and_repartition_stable(spark):
     assert shuffled == got
 
 
+def test_dedup_decisions_precomputed_groups_path_agrees(spark):
+    """dedup_decisions(groups=...): feeding a materialized
+    near_dup_groups table (the production shape — groups computed once
+    per corpus snapshot) yields exactly the recompute path's verdicts."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        dedup_decisions,
+        near_dup_groups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (1, base + "tail one"),
+        (2, base + "tail two"),
+        (3, base + "tail one"),
+        (4, "completely unrelated words with no overlap whatsoever"),
+        (5, base + "tail three"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    recomputed = sorted(
+        map(tuple, dedup_decisions(docs, portable=True).collect())
+    )
+    groups = near_dup_groups(docs, portable=True)
+    fed = sorted(
+        map(tuple, dedup_decisions(docs, portable=True, groups=groups).collect())
+    )
+    assert fed == recomputed
+    # and a round-trip through parquet (the actual materialized shape)
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ndg_") + "/groups"
+    groups.write.parquet(path)
+    from_disk = sorted(
+        map(
+            tuple,
+            dedup_decisions(
+                docs, portable=True, groups=spark.read.parquet(path)
+            ).collect(),
+        )
+    )
+    assert from_disk == recomputed
+
+
 def test_minhash_fast_variant_finds_planted_dups(spark):
     """fast=True (xxhash64) signatures: same shape, same planted-dup
     recall through the banded pipeline as the portable variant."""

@@ -134,6 +134,16 @@ def test_salted_join_rejects_key_derived_salt(spark, skewed):
         skew.salted_join(skewed, dim, on=["key"], salt_cols=["key"])
 
 
+def test_salted_join_rejects_keys_only_big_side_default(spark, skewed):
+    """ADVICE r03: when the big side carries ONLY the join-key columns,
+    the derived default salt is per-key-constant too — same silent
+    no-op the explicit-salt guard rejects, so the default path must
+    raise as well."""
+    dim = spark.createDataFrame([("hot", 1)], "key string, mult int")
+    with pytest.raises(ValueError, match="salt"):
+        skew.salted_join(skewed.select("key"), dim, on=["key"])
+
+
 def test_salted_join_default_salt_spreads_and_matches(spark, skewed):
     """Default (no salt_cols): salt derives from all big-side columns —
     result identical to the plain join, and the hot key occupies more
