@@ -1754,6 +1754,219 @@ def _knn_pq_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# Round-4 queries: web/domain ops, span-level dedup, JSON extraction,
+# weighted stratified caps, streaming ANN, sharded Bloom state
+# ---------------------------------------------------------------------------
+
+# Deterministic URL reconstruction for the domain operators: the sf
+# documents table carries no URL column, so BOTH engines synthesize the
+# same absolute URL from (source, doc_id) — the operator under test is
+# the host/registered-domain extraction + rollup, not the literal.
+# (A function, not a module constant: Column construction needs an
+# active SparkContext, and this module imports Spark-free.)
+def _url_expr():
+    return F.concat(
+        F.lit("https://sub"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit("-site.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain rollup (operators/webtext.py): host via the
+    portable URL regex, domain = last two labels, integer aggregates."""
+    from kelos_on_kafka_spark.operators.webtext import domain_stats
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_expr())
+    return domain_stats(docs)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'At most 10 pages per registered domain' by portable hash order
+    (webtext.domain_capped -> sampling.stratified_cap)."""
+    from kelos_on_kafka_spark.operators.webtext import domain_capped
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_expr())
+    return domain_capped(docs, max_per_domain=10).select(
+        "doc_id", "domain", "sample_rank"
+    )
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup verdicts: global first occurrence of
+    every 8-token span keeps it; all later occurrences are dups
+    (dedup.span_dedup_verdicts — one shuffle on the span digest)."""
+    return dedup.span_dedup_verdicts(
+        _t(spark, sf_dir, "documents"), span_tokens=8
+    ).select(
+        "doc_id", "span_idx", "span_h", "keeper_doc", "keeper_idx", "is_dup"
+    )
+
+
+def q_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-dedup rewrite summary: span counts + md5 of
+    the surviving spans re-joined in order (dedup.span_clean_docs)."""
+    return dedup.span_clean_docs(_t(spark, sf_dir, "documents"), span_tokens=8)
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction + relational rollup over the events props
+    blob (operators/semistruct.py): parse once, aggregate integers."""
+    from kelos_on_kafka_spark.operators.semistruct import props_stats
+
+    return props_stats(_t(spark, sf_dir, "events"))
+
+
+def q_weighted_strat_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact weighted sampling without replacement
+    (sampling.weighted_stratified_cap): 10 docs per lang, weighted by
+    the same length tier as weighted_sample — one window pass."""
+    from kelos_on_kafka_spark.operators.sampling import (
+        weighted_stratified_cap,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "wt",
+        F.least(
+            F.lit(1) + F.floor(F.col("n_chars") / F.lit(150)), F.lit(8)
+        ).cast("int"),
+    )
+    return weighted_stratified_cap(
+        docs, ["lang"], "doc_id", "wt", n=10
+    ).select("doc_id", "lang", "priority", "sample_rank")
+
+
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN (streaming/ann_stream.py): a stream of 20 probe
+    vectors (event-time spread over 4 one-hour windows) against the
+    static embeddings corpus, exact windowed top-5 cosine per probe,
+    emitted on window close (append mode; sentinel advances the final
+    watermark).  Ranking contract identical to batch knn_cosine."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.ann_stream import stream_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base_s = 1_700_000_000
+    probes_pdf = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.timestamp_seconds(
+                F.lit(base_s) + (F.col("vec_id") % 4) * 3600
+            ).alias("ts"),
+            F.col("embedding").alias("vec"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="sknn_src_")
+    probes_pdf.coalesce(1).sortWithinPartitions("probe_id").write.parquet(
+        f"{src}/data"
+    )
+    spark.createDataFrame(
+        [(999_999, base_s + 10 * 3600)], "probe_id long, sec long"
+    ).select(
+        "probe_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.array(*[F.lit(0.0)] * 4).cast("array<float>").alias("vec"),
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "probe_id long, ts timestamp, vec array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    # the sentinel must reach the watermark operator (filtering it out
+    # upstream would freeze the watermark and no window would close);
+    # its far-future window never closes, so it never reaches the sink
+    out = stream_cosine_topk(
+        stream,
+        emb,
+        k=5,
+        probe_id_col="probe_id",
+        probe_vec_col="vec",
+        ts_col="ts",
+        window="1 hour",
+    )
+    name = f"sknn_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("probe_id") < 20).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "probe_id",
+        "rank",
+        "neighbor_id",
+    )
+
+
+def q_stream_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-state Bloom windowed dedup on the REAL stream: 4
+    independent filters per pane keyed by the portable key hash
+    (capacity x4, bounded state per shard).  Sized FP-free here, so the
+    exact first-occurrence oracle applies — per-shard FP determinism is
+    pinned by tests/test_bloom_dedup.py with a tiny filter."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.bloom_dedup import stream_bloom_dedup
+
+    pane_s = 21600
+    src = tempfile.mkdtemp(prefix="bloomsh_src_")
+    (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+            "user_id",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id bigint"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/data")
+    name = f"bloomsh_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_bloom_dedup(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            pane_seconds=pane_s,
+            n_bits=1 << 18,
+            k=4,
+            n_state_shards=4,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("pane_id", "key_h1", "row_id", "ts_us")
+
+
+def q_kelos_topn_epan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KELOS top-N under the Epanechnikov kernel option
+    (core.KERNELS / KelosConfig.kernel — compact-support extension;
+    rows-only like the other KELOS queries, values pinned vs the NumPy
+    oracle by tests/test_epanechnikov.py)."""
+    cfg = KelosConfig(n=10, kernel="epanechnikov")
+    pts = _kelos_points(spark, sf_dir, per_pane=100)
+    return detect_outliers(pts, cfg).select(
+        "window_id", "rank", "point_id", "klome", "density"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -1786,6 +1999,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
         # --- new in round 4 ---
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
+        "span_dedup": q_span_dedup,
+        "span_clean": q_span_clean,
+        "props_extract": q_props_extract,
+        "weighted_strat_cap": q_weighted_strat_cap,
+        "stream_knn": q_stream_knn,
+        "stream_bloom_sharded": q_stream_bloom_sharded,
+        "kelos_topn_epan": q_kelos_topn_epan,
         # --- KELOS debug surface (rows-only by design; keep gated) ---
         "kelos_topn": q_kelos_topn,
         "kelos_assignments": q_kelos_assignments,
@@ -2728,5 +2950,199 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value
             FROM e
             GROUP BY GROUPING SETS ((day_id, hour_id), (day_id))
+        """,
+        # --- round 4 ---
+        "domain_stats": f"""
+            WITH u AS (
+              SELECT doc_id, text,
+                     lower(regexp_extract(
+                       concat('https://sub', cast(doc_id % 3 AS VARCHAR),
+                              '.', source, '-site.org/p/',
+                              cast(doc_id AS VARCHAR)),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+              FROM documents
+            ), d AS (
+              SELECT doc_id, text, host,
+                     CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$', 0) = ''
+                          THEN host
+                          ELSE regexp_extract(host, '[^.]+\\.[^.]+$', 0)
+                     END AS domain
+              FROM u
+            )
+            SELECT domain,
+                   count(*) AS n_docs,
+                   cast(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                            END) AS BIGINT) AS n_tokens,
+                   count(DISTINCT host) AS n_hosts,
+                   min(doc_id) AS first_doc_id
+            FROM d GROUP BY domain
+        """,
+        "domain_cap": """
+            WITH u AS (
+              SELECT doc_id,
+                     lower(regexp_extract(
+                       concat('https://sub', cast(doc_id % 3 AS VARCHAR),
+                              '.', source, '-site.org/p/',
+                              cast(doc_id AS VARCHAR)),
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)) AS host
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$', 0) = ''
+                          THEN host
+                          ELSE regexp_extract(host, '[^.]+\\.[^.]+$', 0)
+                     END AS domain
+              FROM u
+            ), r AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY cast(concat('0x', substr(md5(concat('0:',
+                         cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT),
+                         doc_id
+                     ) AS sample_rank
+              FROM d
+            )
+            SELECT doc_id, domain, sample_rank FROM r WHERE sample_rank <= 10
+        """,
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0,
+                       cast(ceil(len(t) / 8.0) AS INT) - 1)) AS i
+              FROM toks
+            ), sp AS (
+              SELECT doc_id, i AS span_idx,
+                     array_to_string(t[i*8+1:i*8+8], ' ') AS span
+              FROM idx
+              WHERE array_to_string(t[i*8+1:i*8+8], ' ') != ''
+            ), f AS (
+              SELECT doc_id, span_idx, md5(span) AS span_h FROM sp
+            ), k AS (
+              SELECT doc_id, span_idx, span_h,
+                     first_value(doc_id) OVER w AS keeper_doc,
+                     first_value(span_idx) OVER w AS keeper_idx
+              FROM f
+              WINDOW w AS (PARTITION BY span_h ORDER BY doc_id, span_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+            )
+            SELECT doc_id, span_idx, span_h, keeper_doc, keeper_idx,
+                   (keeper_doc != doc_id OR keeper_idx != span_idx) AS is_dup
+            FROM k
+        """,
+        "span_clean": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0,
+                       cast(ceil(len(t) / 8.0) AS INT) - 1)) AS i
+              FROM toks
+            ), sp AS (
+              SELECT doc_id, i AS span_idx,
+                     array_to_string(t[i*8+1:i*8+8], ' ') AS span
+              FROM idx
+              WHERE array_to_string(t[i*8+1:i*8+8], ' ') != ''
+            ), k AS (
+              SELECT doc_id, span_idx, span,
+                     first_value(doc_id) OVER w AS keeper_doc,
+                     first_value(span_idx) OVER w AS keeper_idx
+              FROM sp
+              WINDOW w AS (PARTITION BY md5(span) ORDER BY doc_id, span_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+            ), v AS (
+              SELECT doc_id, span_idx, span,
+                     (keeper_doc != doc_id OR keeper_idx != span_idx)
+                       AS is_dup
+              FROM k
+            )
+            SELECT doc_id,
+                   count(*) AS n_spans,
+                   cast(sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_kept,
+                   md5(coalesce(string_agg(span, ' ' ORDER BY span_idx)
+                                  FILTER (WHERE NOT is_dup), ''))
+                     AS clean_md5
+            FROM v GROUP BY doc_id
+        """,
+        "props_extract": """
+            WITH e AS (
+              SELECT event_type AS grp,
+                     cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1),
+                                 '') AS BIGINT) AS v
+              FROM events
+            )
+            SELECT grp, count(*) AS n_rows, count(v) AS n_with_field,
+                   cast(sum(v) AS BIGINT) AS sum_v,
+                   min(v) AS min_v, max(v) AS max_v
+            FROM e GROUP BY grp
+        """,
+        "weighted_strat_cap": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     least(1 + n_chars // 150, 8) AS wt
+              FROM documents
+            ), pri AS (
+              SELECT doc_id, lang,
+                     min(cast(concat('0x', substr(md5(concat(
+                       '7:', cast(doc_id AS VARCHAR), ':',
+                       cast(i AS VARCHAR))), 1, 15)) AS BIGINT)) AS priority
+              FROM w, unnest(generate_series(0, wt - 1)) AS t(i)
+              GROUP BY doc_id, lang
+            ), r AS (
+              SELECT doc_id, lang, priority,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY priority, doc_id)
+                       AS sample_rank
+              FROM pri
+            )
+            SELECT doc_id, lang, priority, sample_rank
+            FROM r WHERE sample_rank <= 10
+        """,
+        "stream_knn": """
+            WITH c AS (
+              SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), p AS (
+              SELECT vec_id AS pid, v AS pv FROM c WHERE vec_id < 20
+            ), s AS (
+              SELECT p.pid AS probe_id, c.vec_id AS neighbor_id,
+                     list_dot_product(p.pv, c.v)
+                     / (sqrt(list_dot_product(p.pv, p.pv))
+                        * sqrt(list_dot_product(c.v, c.v))) AS cosine
+              FROM p, c WHERE c.vec_id != p.pid
+            ), r AS (
+              SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM s
+            )
+            SELECT (((1700000000 + (probe_id % 4) * 3600) // 3600) * 3600)
+                     * 1000000 AS window_start_us,
+                   probe_id, rn AS rank, neighbor_id
+            FROM r WHERE rn <= 5
+        """,
+        "stream_bloom_sharded": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 21600000000 AS pane_id,
+                     cast(concat('0x', substr(md5(concat('1:',
+                       cast(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       AS key_h1,
+                     event_id AS row_id,
+                     epoch_us(ts) AS ts_us,
+                     row_number() OVER (
+                       PARTITION BY epoch_us(ts) // 21600000000, user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS rn
+              FROM events
+            )
+            SELECT pane_id, key_h1, row_id, ts_us FROM e WHERE rn = 1
         """,
     }

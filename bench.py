@@ -203,6 +203,13 @@ def main() -> None:
         "knn_pq",
         "pivot_lang_source",
         "rolling_avg",
+        # round 4
+        "domain_stats",
+        "domain_cap",
+        "span_dedup",
+        "span_clean",
+        "props_extract",
+        "weighted_strat_cap",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -43,8 +43,19 @@ __all__ = [
     "stream_bloom_dedup",
     "write_routed_stream",
     "expire_partitions",
+    "url_host",
+    "registered_domain",
+    "domain_stats",
+    "domain_capped",
+    "span_fingerprints",
+    "span_dedup_verdicts",
+    "span_clean_docs",
+    "weighted_stratified_cap",
+    "stream_cosine_topk",
+    "props_stats",
+    "json_long",
 ]
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 _LAZY = {
     "stream_near_dup_pairs": ("kelos_on_kafka_spark.streaming.dedup_stream", None),
@@ -72,6 +83,17 @@ _LAZY = {
     "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),
     "write_routed_stream": ("kelos_on_kafka_spark.streaming.sink", None),
     "expire_partitions": ("kelos_on_kafka_spark.plans.maintenance", None),
+    "url_host": ("kelos_on_kafka_spark.operators.webtext", None),
+    "registered_domain": ("kelos_on_kafka_spark.operators.webtext", None),
+    "domain_stats": ("kelos_on_kafka_spark.operators.webtext", None),
+    "domain_capped": ("kelos_on_kafka_spark.operators.webtext", None),
+    "span_fingerprints": ("kelos_on_kafka_spark.operators.dedup", None),
+    "span_dedup_verdicts": ("kelos_on_kafka_spark.operators.dedup", None),
+    "span_clean_docs": ("kelos_on_kafka_spark.operators.dedup", None),
+    "weighted_stratified_cap": ("kelos_on_kafka_spark.operators.sampling", None),
+    "stream_cosine_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
+    "props_stats": ("kelos_on_kafka_spark.operators.semistruct", None),
+    "json_long": ("kelos_on_kafka_spark.operators.semistruct", None),
 }
 
 

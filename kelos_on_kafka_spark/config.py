@@ -33,6 +33,9 @@ class KelosConfig:
     distance_threshold: float = 0.25
     k: int = 20
     n: int = 100
+    # KDE kernel: 'gaussian' (reference parity, GaussianKernel.java) or
+    # 'epanechnikov' (compact-support extension, core.KERNELS).
+    kernel: str = "gaussian"
 
     @property
     def window_seconds(self) -> int:

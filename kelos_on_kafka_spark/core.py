@@ -154,6 +154,25 @@ def gaussian_kernel(x: np.ndarray, h: np.ndarray) -> np.ndarray:
         return _kernel_raw(x, h)
 
 
+def _epanechnikov_raw(x, h):
+    """Epanechnikov kernel ``0.75·(1-(x/h)²)/h`` for |x| <= h, else 0 —
+    the compact-support alternative the KELOS paper also admits (the
+    reference ships only the Gaussian product kernel,
+    GaussianKernel.java:11-16; this is an extension, selected via
+    ``KelosConfig.kernel``).  Like the Gaussian it is non-increasing in
+    |x|, so the KLOME min/max bound construction (kernel at
+    difference ± radius) remains valid unchanged.  h == 0 yields 0
+    contribution (the NaN-propagation quirk is Gaussian-parity-specific
+    and not replicated here)."""
+    u = x / h
+    val = 0.75 * (1.0 - u * u) / h
+    return np.where(np.abs(u) <= 1.0, val, 0.0)
+
+
+#: Kernel registry for ``KelosConfig.kernel`` / ``window_pipeline``.
+KERNELS = {"gaussian": _kernel_raw, "epanechnikov": _epanechnikov_raw}
+
+
 # ---------------------------------------------------------------------------
 # P1 — greedy pane clustering (ClusteringProcessorSupplier.java:35-124)
 # ---------------------------------------------------------------------------
@@ -400,6 +419,7 @@ def knn_clusters(window_clusters: "OrderedMap[int, WindowCluster]", k: int) -> N
 
 def estimate_cluster_densities(
     window_clusters: "OrderedMap[int, WindowCluster]",
+    kernel_fn=_kernel_raw,
 ) -> "OrderedMap[int, WindowCluster]":
     """KDE density + min/max bounds at each cluster's centroid from its KNN
     clusters.  Clusters with <=1 existing neighbors are dropped (never
@@ -470,10 +490,10 @@ def estimate_cluster_densities(
             maxb = np.zeros(len(rows))
             for i in range(k):
                 difference = np.abs(own - ncent[:, i, :])
-                pk = _product_cols(_kernel_raw(difference, bw))
-                min_pk = _product_cols(_kernel_raw(difference + radius, bw))
+                pk = _product_cols(kernel_fn(difference, bw))
+                min_pk = _product_cols(kernel_fn(difference + radius, bw))
                 max_pk = _product_cols(
-                    _kernel_raw(np.maximum(difference - radius, 0.0), bw)
+                    kernel_fn(np.maximum(difference - radius, 0.0), bw)
                 )
                 dens = dens + pk * weights[:, i]
                 minb = minb + min_pk * weights[:, i]
@@ -649,6 +669,7 @@ def _point_densities(
     cent_table: np.ndarray,
     cand_rows: np.ndarray,
     knn_matrix: np.ndarray,
+    kernel_fn=_kernel_raw,
 ):
     """Stage-1 point KDE (P8): density per candidate from its resolved
     mixed-store neighbors with uniform weights 1/k and the /k² mean (Q2);
@@ -683,7 +704,7 @@ def _point_densities(
             dens = np.zeros(nbr.shape[0])
             for i in range(int(kk)):
                 difference = np.abs(own - ncent[:, i, :])
-                dens = dens + _product_cols(_kernel_raw(difference, bw)) * w
+                dens = dens + _product_cols(kernel_fn(difference, bw)) * w
             dens_out[sel] = dens
     return dens_out, keep
 
@@ -754,6 +775,7 @@ def _point_stage(
     surv_dens: np.ndarray,
     k: int,
     n: int,
+    kernel_fn=_kernel_raw,
 ) -> List[Outlier]:
     """P7+P8+P9 fused, array-native: candidate KNN -> mixed-store point
     KDE -> KLOME top-N.  Semantics identical to the per-entry wrappers
@@ -784,7 +806,9 @@ def _point_stage(
     act_pids = cand_pids[cand_mask]
     act_X = cand_X[cand_mask]
 
-    dens_cand, keep = _point_densities(keys, cent_table, act_rows, act_knn)
+    dens_cand, keep = _point_densities(
+        keys, cent_table, act_rows, act_knn, kernel_fn
+    )
 
     # PointsWithDensities: dropped candidates vanish from the table
     keep_key = np.ones(m, dtype=bool)
@@ -950,12 +974,18 @@ def window_pipeline(
     point_features: np.ndarray,
     k: int,
     n: int,
+    kernel: str = "gaussian",
 ) -> Tuple[List[Outlier], "OrderedMap[int, bool]", List[int]]:
     """Run KNN -> KDE -> pruning -> filter -> point KNN -> point KDE ->
     top-N for one closed window.  Returns (outliers, flags, candidate_ids).
+
+    ``kernel`` selects the KDE kernel (``KERNELS``): 'gaussian' is the
+    reference-parity default; 'epanechnikov' is the compact-support
+    extension (same bound construction, see ``_epanechnikov_raw``).
     """
+    kernel_fn = KERNELS[kernel]
     knn_clusters(window_clusters, k)
-    survivors = estimate_cluster_densities(window_clusters)
+    survivors = estimate_cluster_densities(window_clusters, kernel_fn)
     flags = prune_clusters(survivors, n)
 
     # P6 semi-join, vectorized: points whose assigned cluster is flagged
@@ -980,7 +1010,7 @@ def window_pipeline(
         surv_dens = np.empty(0)
 
     outliers = _point_stage(
-        cand_pids, cand_X, surv_cids, surv_cent, surv_dens, k, n
+        cand_pids, cand_X, surv_cids, surv_cent, surv_dens, k, n, kernel_fn
     )
     return outliers, flags, [int(p) for p in cand_pids]
 
@@ -999,6 +1029,7 @@ def run_stream(
     threshold: float = 0.25,
     k: int = 20,
     n: int = 100,
+    kernel: str = "gaussian",
 ) -> List[WindowResult]:
     """Golden oracle: run the whole KELOS dataflow pane by pane.
 
@@ -1045,7 +1076,7 @@ def run_stream(
         w_X = np.concatenate([a[2] for a in assign_ring])
 
         outliers, flags, cand_ids = window_pipeline(
-            window_clusters, w_ids, w_cids, w_X, k, n
+            window_clusters, w_ids, w_cids, w_X, k, n, kernel
         )
         results.append(
             WindowResult(

@@ -542,3 +542,100 @@ def simhash64(
             F.shiftleft(F.lit(1).cast("long"), b),
         ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Non-overlapping ``span_tokens``-token spans of each document with
+    a portable md5 fingerprint — the unit of C4-style span/line-level
+    dedup (the corpus variant of three-sentence dedup for text without
+    sentence punctuation).  Returns (doc_id, span_idx, span, span_h).
+
+    Built-ins only (split/sequence/transform/posexplode); the only
+    shuffle downstream operators add is on ``span_h``."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans - 1, F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(toks, i * span_tokens + 1, span_tokens), " "
+        ),
+    )
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(spans).alias("span_idx", "span"),
+        )
+        .where(F.col("span") != "")
+        .select(
+            "doc_id", "span_idx", "span", F.md5(F.col("span")).alias("span_h")
+        )
+    )
+
+
+def span_dedup_verdicts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide span-level dedup verdict: for every span occurrence,
+    the global keeper is the FIRST occurrence by (doc_id, span_idx) —
+    deterministic, repartition-stable, engine-portable.  Returns
+    (doc_id, span_idx, span, span_h, keeper_doc, keeper_idx, is_dup).
+
+    Scale shape: one shuffle on span_h (the window); span text never
+    joins — only 16-byte digests group."""
+    fps = span_fingerprints(df, id_col, text_col, span_tokens)
+    w = Window.partitionBy("span_h")
+    keeper = F.min(F.struct("doc_id", "span_idx")).over(w)
+    return fps.select(
+        "doc_id",
+        "span_idx",
+        "span",
+        "span_h",
+        keeper["doc_id"].alias("keeper_doc"),
+        keeper["span_idx"].alias("keeper_idx"),
+        (
+            (keeper["doc_id"] != F.col("doc_id"))
+            | (keeper["span_idx"] != F.col("span_idx"))
+        ).alias("is_dup"),
+    )
+
+
+def span_clean_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Per-document result of dropping every span whose first occurrence
+    is elsewhere in the corpus (C4's dedup transform), summarized as
+    (doc_id, n_spans, n_kept, clean_md5) where clean_md5 fingerprints
+    the surviving spans re-joined in document order — the cheap
+    cross-engine contract for the rewritten text (emitting the full
+    cleaned text is the same plan minus the md5)."""
+    v = span_dedup_verdicts(df, id_col, text_col, span_tokens)
+    kept_struct = F.when(
+        ~F.col("is_dup"), F.struct("span_idx", "span")
+    )  # collect_list drops the NULLs for dup spans
+    return v.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )

@@ -274,7 +274,7 @@ def _make_window_fn(cfg: KelosConfig):
                 ]
             )
         outliers, _flags, _cands = core.window_pipeline(
-            wcs, pids, cids, X, cfg.k, cfg.n
+            wcs, pids, cids, X, cfg.k, cfg.n, cfg.kernel
         )
         if not outliers:
             return pd.DataFrame(columns=OUTLIER_SCHEMA.fieldNames())
@@ -385,7 +385,7 @@ def _make_streamwise_fn(cfg: KelosConfig):
                 else np.empty((0, 0))
             )
             outliers, _f, _c = core.window_pipeline(
-                window_clusters, w_ids, w_cids, w_X, cfg.k, cfg.n
+                window_clusters, w_ids, w_cids, w_X, cfg.k, cfg.n, cfg.kernel
             )
             if outliers:
                 out_frames.append(
@@ -528,7 +528,9 @@ def _make_debug_window_fn(cfg: KelosConfig, which: str):
                 maxs=np.asarray(row.maxs, dtype=np.float64),
             )
         core.knn_clusters(wcs, cfg.k)
-        survivors = core.estimate_cluster_densities(wcs)
+        survivors = core.estimate_cluster_densities(
+            wcs, core.KERNELS[cfg.kernel]
+        )
         flags = core.prune_clusters(survivors, cfg.n)
         if which == "clusters":
             return pd.DataFrame(

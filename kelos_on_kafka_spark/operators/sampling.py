@@ -127,8 +127,21 @@ def weighted_priority_sample(
     Plan: a per-row O(w) projection then TakeOrdered (map-side partial
     top-n, no global sort shuffle).  Returns the sampled rows plus
     ``priority``."""
+    pri = _min_of_w_priority(id_col, weight_col, seed, max_weight)
+    return (
+        df.where(F.col(weight_col) >= 1)
+        .withColumn("priority", pri)
+        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def _min_of_w_priority(
+    id_col: str, weight_col: str, seed: int, max_weight: int
+) -> Column:
+    """Min-of-w portable-hash priority (see weighted_priority_sample)."""
     w = F.least(F.col(weight_col).cast("int"), F.lit(max_weight))
-    pri = F.array_min(
+    return F.array_min(
         F.transform(
             F.sequence(F.lit(0), w - 1),
             lambda i: _hash64(
@@ -136,9 +149,34 @@ def weighted_priority_sample(
             ),
         )
     )
+
+
+def weighted_stratified_cap(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 7,
+    max_weight: int = 64,
+) -> DataFrame:
+    """Per-stratum exact weighted sampling without replacement: within
+    each key (domain, lang, source …) keep the ``n`` rows with the
+    smallest min-of-w portable-hash priorities — i.e.
+    ``weighted_priority_sample`` applied independently per stratum, as
+    one window pass (the weighted form of ``stratified_cap``; same
+    exactness argument as weighted_priority_sample, per stratum).
+
+    Plan: O(w) projection + one shuffle on the strata keys; hot strata
+    route through ``plans.skew.salted_topn`` with the same (priority,
+    id) order if needed.  Adds ``priority`` and ``sample_rank``."""
+    pri = _min_of_w_priority(id_col, weight_col, seed, max_weight)
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    )
     return (
         df.where(F.col(weight_col) >= 1)
         .withColumn("priority", pri)
-        .orderBy(F.col("priority").asc(), F.col(id_col).asc())
-        .limit(n)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
     )

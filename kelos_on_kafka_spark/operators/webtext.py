@@ -1,0 +1,89 @@
+"""Web-corpus URL/domain operators — host extraction, registered-domain
+rollup, per-domain corpus stats.
+
+A Common-Crawl-scale pipeline is dominated by per-domain decisions
+(domain-level quality priors, per-domain page caps, spam-domain
+blocklists), so domain extraction must be a pure Catalyst expression:
+the regexes below use the portable subset (no lookaround, no
+backreferences) so Java regex and RE2/DuckDB agree byte-for-byte, and
+every downstream aggregate is integer-exact.
+
+Reference surface: the reference has no URL handling (points are
+numeric CSV, InputProducer.java:40-68); this is part of the web-text
+generalization the engine targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kelos_on_kafka_spark.operators.textstats import n_tokens
+
+# scheme://host[:port]/... -> host (group 1); empty string when the
+# value does not parse as an absolute URL
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+# last two dot-labels ("news.bbc.co.uk" -> "co.uk" — a public-suffix
+# list refines this in deployment; the operator contract is the regex)
+_REG_DOMAIN_RE = r"[^.]+\.[^.]+$"
+
+
+def url_host(url_col: str = "url") -> Column:
+    """Lower-cased host of an absolute URL ('' when unparseable)."""
+    return F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+
+
+def registered_domain(host: Column) -> Column:
+    """Last-two-labels registered domain of a host column; hosts with
+    fewer than two labels map to themselves."""
+    tail = F.regexp_extract(host, _REG_DOMAIN_RE, 0)
+    return F.when(tail == "", host).otherwise(tail)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registered-domain corpus stats: page count, token total,
+    distinct hosts — the table per-domain caps, priors and blocklists
+    join against.  One hash aggregation on the domain key; map-side
+    partial aggregation absorbs hot domains (counts/sums are
+    combinable), so no explicit salting is needed here."""
+    dom = registered_domain(url_host(url_col))
+    return (
+        df.select(
+            dom.alias("domain"),
+            url_host(url_col).alias("host"),
+            F.col(id_col).alias("doc_id"),
+            n_tokens(text_col).alias("nt"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+def domain_capped(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_per_domain: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """'At most N pages per registered domain', chosen by portable hash
+    order (deterministic, engine-portable, unbiased) — the standard
+    web-corpus balance step.  Thin wrapper: derives the domain column
+    then applies ``sampling.stratified_cap`` (per-key window top-n; for
+    pathological mega-domains route through ``plans.skew.salted_topn``
+    with the same (hash, id) order)."""
+    from kelos_on_kafka_spark.operators.sampling import stratified_cap
+
+    with_dom = df.withColumn(
+        "domain", registered_domain(url_host(url_col))
+    )
+    return stratified_cap(with_dom, ["domain"], id_col, max_per_domain, seed)

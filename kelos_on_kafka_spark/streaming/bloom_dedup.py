@@ -134,6 +134,7 @@ def stream_bloom_dedup(
     n_bits: int = 1 << 20,
     k: int = 4,
     watermark_delay: str = "0 seconds",
+    n_state_shards: int = 1,
 ) -> DataFrame:
     """Approximate first-occurrence-per-(pane, key) on a stream with
     O(n_bits) state per open pane.  Returns (pane_id, key_h1, row_id,
@@ -142,20 +143,30 @@ def stream_bloom_dedup(
 
     Size ``n_bits`` for the per-pane key cardinality: FP probability
     ``~(k*n/n_bits)^k``; at n = 10^9 keys/pane, n_bits = 2^34 (2 GiB)
-    gives ~3e-3 — or shard panes across tasks by adding a key-hash
-    prefix to the state key, which multiplies capacity linearly."""
+    gives ~3e-3 — or set ``n_state_shards`` > 1: the state key becomes
+    (pane, key_h1 mod shards), giving ``shards`` independent n_bits
+    filters per pane (capacity × shards, each state blob bounded, and
+    the stateful stage parallelizes across shards within a pane).
+    Correctness is unchanged for true duplicates (a key always lands in
+    the same shard); FP behavior differs from the unsharded filter but
+    remains a pure function of the data (sharding is by the portable
+    key hash, so verdicts stay deterministic and engine-reproducible)."""
+    if n_state_shards < 1:
+        raise ValueError(f"n_state_shards must be >= 1, got {n_state_shards}")
     pane_us = pane_seconds * 1_000_000
+    h1 = _hash64(F.col(key_col).cast("string"), 1)
     prepared = events.withWatermark(ts_col, watermark_delay).select(
         F.floor(F.unix_micros(F.col(ts_col)) / F.lit(pane_us))
         .cast("long")
         .alias("pane_id"),
-        _hash64(F.col(key_col).cast("string"), 1).alias("key_h1"),
+        F.pmod(h1, F.lit(n_state_shards)).cast("long").alias("state_shard"),
+        h1.alias("key_h1"),
         _hash64(F.col(key_col).cast("string"), 2).alias("key_h2"),
         F.col(id_col).cast("long").alias("row_id"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
         F.col(ts_col).alias("_event_ts"),
     )
-    return prepared.groupBy("pane_id").applyInPandasWithState(
+    return prepared.groupBy("pane_id", "state_shard").applyInPandasWithState(
         _make_bloom_fn(n_bits, k, pane_us),
         outputStructType=BLOOM_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

@@ -107,7 +107,7 @@ def _close_pane(
     nonempty = [r[2] for r in st.ring if r[2].size]
     w_X = np.concatenate(nonempty) if nonempty else np.empty((0, 0))
     outliers, flags, cand_ids = core.window_pipeline(
-        window_clusters, w_ids, w_cids, w_X, cfg.k, cfg.n
+        window_clusters, w_ids, w_cids, w_X, cfg.k, cfg.n, cfg.kernel
     )
     if not outliers:
         return None

@@ -1,0 +1,95 @@
+"""Streaming ANN (streaming/ann_stream.py): the windowed streaming
+top-k must equal the batch cosine_topk ranking per window."""
+
+import uuid
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kelos_on_kafka_spark.operators.similarity import cosine_topk
+from kelos_on_kafka_spark.streaming.ann_stream import stream_cosine_topk
+
+BASE_S = 1_700_000_000
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=DIM)]) for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def _run_stream(spark, tmp_path, corpus, probe_ids, window="1 hour"):
+    probes = corpus.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.timestamp_seconds(
+            F.lit(BASE_S) + (F.col("vec_id") % 2) * 3600
+        ).alias("ts"),
+        F.col("embedding").alias("vec"),
+    )
+    src = str(tmp_path / f"src_{uuid.uuid4().hex[:8]}")
+    probes.coalesce(1).write.parquet(f"{src}/data")
+    spark.createDataFrame(
+        [(999_999, BASE_S + 10 * 3600)], "probe_id long, sec long"
+    ).select(
+        "probe_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.array(*[F.lit(0.0)] * DIM).cast("array<float>").alias("vec"),
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "probe_id long, ts timestamp, vec array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    # sentinel stays IN the stream (it drives the final watermark; its
+    # own far-future window never closes so it never reaches the sink)
+    out = stream_cosine_topk(
+        stream,
+        corpus,
+        k=4,
+        probe_id_col="probe_id",
+        probe_vec_col="vec",
+        ts_col="ts",
+        window=window,
+    )
+    name = f"ann_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).collect()
+
+
+def test_stream_topk_matches_batch_ranking(spark, tmp_path, corpus):
+    probe_ids = [0, 1, 2, 3, 4, 5]
+    rows = _run_stream(spark, tmp_path, corpus, probe_ids)
+    got = sorted((r.probe_id, r.rank, r.neighbor_id) for r in rows)
+    want = sorted(
+        map(tuple, cosine_topk(corpus, probe_ids, k=4).collect())
+    )
+    assert got == want
+    # windows land where the synthetic event times put them: probes with
+    # even ids in the BASE_S hour, odd ids one hour later
+    starts = {
+        r.probe_id: int(r.window_start.timestamp()) for r in rows
+    }
+    hour0 = BASE_S // 3600 * 3600
+    for pid, start in starts.items():
+        assert start == hour0 + (pid % 2) * 3600
+
+
+def test_stream_topk_excludes_self_and_is_rerun_stable(
+    spark, tmp_path, corpus
+):
+    rows = _run_stream(spark, tmp_path, corpus, [7, 8])
+    assert all(r.neighbor_id != r.probe_id for r in rows)
+    rows2 = _run_stream(spark, tmp_path, corpus, [7, 8])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

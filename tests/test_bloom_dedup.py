@@ -28,7 +28,9 @@ def _rows():
     return rows
 
 
-def _run_stream(spark, tmp_path, rows, n_bits, k=4, pane_seconds=100):
+def _run_stream(
+    spark, tmp_path, rows, n_bits, k=4, pane_seconds=100, n_state_shards=1
+):
     src = str(tmp_path / f"src_{uuid.uuid4().hex[:8]}")
     (
         spark.createDataFrame(rows, "event_id long, sec long, user_id long")
@@ -52,6 +54,7 @@ def _run_stream(spark, tmp_path, rows, n_bits, k=4, pane_seconds=100):
             pane_seconds=pane_seconds,
             n_bits=n_bits,
             k=k,
+            n_state_shards=n_state_shards,
         )
         .writeStream.format("memory")
         .queryName(name)
@@ -63,8 +66,9 @@ def _run_stream(spark, tmp_path, rows, n_bits, k=4, pane_seconds=100):
     return spark.table(name).collect()
 
 
-def _py_reference(rows, n_bits, k, pane_seconds):
-    """Pure-Python bloom over the same portable hashes, same order."""
+def _py_reference(rows, n_bits, k, pane_seconds, n_shards=1):
+    """Pure-Python bloom over the same portable hashes, same order —
+    one independent filter per (pane, key_h1 mod n_shards)."""
     import hashlib
 
     def h64(s, seed):
@@ -75,7 +79,7 @@ def _py_reference(rows, n_bits, k, pane_seconds):
     for eid, sec, user in sorted(rows, key=lambda r: (r[1], r[0])):
         pane = sec * 1_000_000 // (pane_seconds * 1_000_000)
         h1, h2 = h64(str(user), 1), h64(str(user), 2)
-        bits = filters.setdefault(pane, set())
+        bits = filters.setdefault((pane, h1 % n_shards), set())
         pos = bloom_dedup.bloom_positions(h1, h2, n_bits, k)
         if not all(p in bits for p in pos):
             bits.update(pos)
@@ -173,3 +177,45 @@ def test_bloom_dedup_rerun_is_identical(spark, tmp_path):
     a = sorted(map(tuple, _run_stream(spark, tmp_path, rows, 1 << 10, k=3)))
     b = sorted(map(tuple, _run_stream(spark, tmp_path, rows, 1 << 10, k=3)))
     assert a == b
+
+
+def test_bloom_dedup_sharded_state_exact_when_sized(spark, tmp_path):
+    """n_state_shards > 1 (capacity scaling: independent filters per
+    key-hash shard) changes nothing when no FP fires: output equals the
+    unsharded run and the exact first-occurrence set."""
+    rows = _rows()
+    unsharded = sorted(
+        map(tuple, _run_stream(spark, tmp_path, rows, 1 << 16))
+    )
+    sharded = sorted(
+        map(
+            tuple,
+            _run_stream(spark, tmp_path, rows, 1 << 16, n_state_shards=4),
+        )
+    )
+    assert sharded == unsharded
+
+
+def test_bloom_dedup_sharded_fps_match_python_reference(spark, tmp_path):
+    """With a tiny per-shard filter, FP behavior follows the per-(pane,
+    shard) reference filters — deterministic, and DIFFERENT from the
+    unsharded filter's FP set (proving the shard key is live)."""
+    rows = [(i, 10 + i, 1000 + i) for i in range(40)]
+    n_bits, k, shards = 64, 3, 4
+    got = sorted(
+        (r.pane_id, r.key_h1, r.row_id, r.ts_us)
+        for r in _run_stream(
+            spark,
+            tmp_path,
+            rows,
+            n_bits,
+            k=k,
+            pane_seconds=1000,
+            n_state_shards=shards,
+        )
+    )
+    assert got == _py_reference(rows, n_bits, k, 1000, n_shards=shards)
+    # sharding spreads keys over 4 filters -> fewer collisions than the
+    # single tiny filter (the capacity argument, observed)
+    unsharded = _py_reference(rows, n_bits, k, 1000)
+    assert len(got) > len(unsharded)

@@ -54,6 +54,12 @@ def test_relational_queries_have_no_python_stage(spark):
         "asof_join",
         "cep_sequence",
         "rollup_panes",
+        "domain_stats",
+        "domain_cap",
+        "span_dedup",
+        "span_clean",
+        "props_extract",
+        "weighted_strat_cap",
         "hash_split",
         "stratified_cap",
         "det_sample",

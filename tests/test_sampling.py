@@ -149,3 +149,48 @@ def test_weighted_priority_is_proportional():
         wins[1 if p1 < p2 else 2] += 1
     frac = wins[1] / n_seeds
     assert 0.72 <= frac <= 0.88  # expected 4/5 = 0.8
+
+
+def test_weighted_stratified_cap_equals_per_stratum_sample(spark):
+    """weighted_stratified_cap == weighted_priority_sample applied
+    independently per stratum (same priorities, same picks), and it
+    caps every stratum."""
+    import pandas as pd
+
+    from kelos_on_kafka_spark.operators.sampling import (
+        weighted_priority_sample,
+        weighted_stratified_cap,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(120),
+            "lang": [("en", "de", "fr")[i % 3] for i in range(120)],
+            "wt": [1 + (i % 5) for i in range(120)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    capped = weighted_stratified_cap(df, ["lang"], "doc_id", "wt", n=7)
+    rows = capped.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.priority, r.doc_id, r.sample_rank))
+    assert set(by_lang) == {"en", "de", "fr"}
+    for lang, entries in by_lang.items():
+        assert len(entries) == 7
+        assert sorted(e[2] for e in entries) == list(range(1, 8))
+        want = sorted(
+            (r.priority, r.doc_id)
+            for r in weighted_priority_sample(
+                df.where(df.lang == lang), "doc_id", "wt", n=7
+            ).collect()
+        )
+        assert sorted((p, d) for p, d, _ in entries) == want
+    # repartition-stable
+    again = sorted(
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in weighted_stratified_cap(
+            df.repartition(9, "doc_id"), ["lang"], "doc_id", "wt", n=7
+        ).collect()
+    )
+    assert again == sorted((r.lang, r.doc_id, r.sample_rank) for r in rows)
