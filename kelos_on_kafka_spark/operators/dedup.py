@@ -583,29 +583,43 @@ def span_dedup_verdicts(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 8,
+    with_span: bool = False,
 ) -> DataFrame:
     """Corpus-wide span-level dedup verdict: for every span occurrence,
     the global keeper is the FIRST occurrence by (doc_id, span_idx) —
     deterministic, repartition-stable, engine-portable.  Returns
-    (doc_id, span_idx, span, span_h, keeper_doc, keeper_idx, is_dup).
+    (span_h, doc_id, span_idx, keeper_doc, keeper_idx, is_dup), plus
+    ``span`` when ``with_span`` (the rebuild path wants the text).
 
-    Scale shape: one shuffle on span_h (the window); span text never
-    joins — only 16-byte digests group."""
+    Scale shape — text never shuffles on the digest key: keepers are a
+    digest-only ``groupBy(span_h).min(struct)`` (map-side partial min
+    absorbs hot boilerplate spans), verdicts join digests back on
+    span_h (24-byte rows; AQE skew-join splits a residual hot digest),
+    and the optional text join is on (doc_id, span_idx), whose
+    distribution follows documents, not span popularity.  A window
+    over span_h would instead sort every TEXT copy of a hot span on
+    one reducer — the exact skew this avoids."""
     fps = span_fingerprints(df, id_col, text_col, span_tokens)
-    w = Window.partitionBy("span_h")
-    keeper = F.min(F.struct("doc_id", "span_idx")).over(w)
-    return fps.select(
+    digests = fps.select("doc_id", "span_idx", "span_h")
+    keepers = digests.groupBy("span_h").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("_k")
+    )
+    v = digests.join(keepers, "span_h").select(
+        "span_h",
         "doc_id",
         "span_idx",
-        "span",
-        "span_h",
-        keeper["doc_id"].alias("keeper_doc"),
-        keeper["span_idx"].alias("keeper_idx"),
+        F.col("_k.doc_id").alias("keeper_doc"),
+        F.col("_k.span_idx").alias("keeper_idx"),
         (
-            (keeper["doc_id"] != F.col("doc_id"))
-            | (keeper["span_idx"] != F.col("span_idx"))
+            (F.col("_k.doc_id") != F.col("doc_id"))
+            | (F.col("_k.span_idx") != F.col("span_idx"))
         ).alias("is_dup"),
     )
+    if with_span:
+        v = v.join(
+            fps.select("doc_id", "span_idx", "span"), ["doc_id", "span_idx"]
+        )
+    return v
 
 
 def span_clean_docs(
@@ -620,7 +634,7 @@ def span_clean_docs(
     the surviving spans re-joined in document order — the cheap
     cross-engine contract for the rewritten text (emitting the full
     cleaned text is the same plan minus the md5)."""
-    v = span_dedup_verdicts(df, id_col, text_col, span_tokens)
+    v = span_dedup_verdicts(df, id_col, text_col, span_tokens, with_span=True)
     kept_struct = F.when(
         ~F.col("is_dup"), F.struct("span_idx", "span")
     )  # collect_list drops the NULLs for dup spans
