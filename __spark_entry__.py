@@ -1906,6 +1906,63 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed streaming ANN (streaming/ann_stream.stream_ivf_topk):
+    same probe stream as stream_knn, but each probe joins only its
+    nprobe=2 coarse cells of the pre-assigned corpus — the
+    O(N·nprobe/n_cells) scale path, with the same deterministic cell
+    quantizer as batch knn_ivf."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.ann_stream import stream_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base_s = 1_700_000_000
+    probes_pdf = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.timestamp_seconds(
+                F.lit(base_s) + (F.col("vec_id") % 4) * 3600
+            ).alias("ts"),
+            F.col("embedding").alias("vec"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="sknnivf_src_")
+    probes_pdf.coalesce(1).sortWithinPartitions("probe_id").write.parquet(
+        f"{src}/data"
+    )
+    spark.createDataFrame(
+        [(999_999, base_s + 10 * 3600)], "probe_id long, sec long"
+    ).select(
+        "probe_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.array(*[F.lit(0.0)] * 4).cast("array<float>").alias("vec"),
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "probe_id long, ts timestamp, vec array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_ivf_topk(
+        stream, emb, k=5, n_cells=16, nprobe=2, window="1 hour"
+    )
+    name = f"sknnivf_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("probe_id") < 20).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "probe_id",
+        "rank",
+        "neighbor_id",
+    )
+
+
 def q_stream_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-state Bloom windowed dedup on the REAL stream: 4
     independent filters per pane keyed by the portable key hash
@@ -2006,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_extract": q_props_extract,
         "weighted_strat_cap": q_weighted_strat_cap,
         "stream_knn": q_stream_knn,
+        "stream_knn_ivf": q_stream_knn_ivf,
         "stream_bloom_sharded": q_stream_bloom_sharded,
         "kelos_topn_epan": q_kelos_topn_epan,
         # --- KELOS debug surface (rows-only by design; keep gated) ---
@@ -3122,6 +3180,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT probe_id, neighbor_id,
                      row_number() OVER (PARTITION BY probe_id
                                         ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM s
+            )
+            SELECT (((1700000000 + (probe_id % 4) * 3600) // 3600) * 3600)
+                     * 1000000 AS window_start_us,
+                   probe_id, rn AS rank, neighbor_id
+            FROM r WHERE rn <= 5
+        """,
+        "stream_knn_ivf": """
+            WITH c AS (
+              SELECT vec_id, cast(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_dot_product(cast(embedding AS DOUBLE[]),
+                                           cast(embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings
+            ), cells AS (
+              SELECT vec_id AS cell_id, v AS cvec, nrm AS cnrm
+              FROM c WHERE vec_id < 16
+            ), ranked AS (
+              SELECT c.vec_id AS vid, c.v, c.nrm, cells.cell_id,
+                     row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_dot_product(c.v, cells.cvec)
+                                / (c.nrm * cells.cnrm) DESC, cells.cell_id
+                     ) AS crn
+              FROM c CROSS JOIN cells
+            ), assigned AS (
+              SELECT vid AS neighbor_id, v, nrm, cell_id
+              FROM ranked WHERE crn = 1
+            ), pc AS (
+              SELECT vid AS probe_id, v AS pv, nrm AS pn,
+                     cell_id AS pcell
+              FROM ranked WHERE crn <= 2 AND vid < 20
+            ), s AS (
+              SELECT pc.probe_id, a.neighbor_id,
+                     list_dot_product(pc.pv, a.v) / (pc.pn * a.nrm) AS cosine
+              FROM pc JOIN assigned a ON a.cell_id = pc.pcell
+              WHERE a.neighbor_id != pc.probe_id
+            ), r AS (
+              SELECT probe_id, neighbor_id,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY cosine DESC, neighbor_id)
+                       AS rn
               FROM s
             )
             SELECT (((1700000000 + (probe_id % 4) * 3600) // 3600) * 3600)

@@ -52,6 +52,7 @@ __all__ = [
     "span_clean_docs",
     "weighted_stratified_cap",
     "stream_cosine_topk",
+    "stream_ivf_topk",
     "props_stats",
     "json_long",
 ]
@@ -92,6 +93,7 @@ _LAZY = {
     "span_clean_docs": ("kelos_on_kafka_spark.operators.dedup", None),
     "weighted_stratified_cap": ("kelos_on_kafka_spark.operators.sampling", None),
     "stream_cosine_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
+    "stream_ivf_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
     "props_stats": ("kelos_on_kafka_spark.operators.semistruct", None),
     "json_long": ("kelos_on_kafka_spark.operators.semistruct", None),
 }

@@ -72,9 +72,15 @@ def stream_cosine_topk(
             ).alias("cosine"),
         )
     )
-    # drop undefined scores entirely (zero-norm rows): keeps the
-    # struct sort free of NULL fields.  This sits AFTER the watermark
-    # operator, so a sentinel row still advances event time.
+    return _windowed_topk(scored, window, k)
+
+
+def _windowed_topk(scored: DataFrame, window: str, k: int) -> DataFrame:
+    """(window, probe) top-k of a scored candidate stream: collect_list
+    of (−cosine, neighbor) structs, sort, slice — emitted on window
+    close.  Null scores are dropped first (zero-norm rows; sits AFTER
+    the watermark operator, so a sentinel row still advances event
+    time)."""
     scored = scored.where(F.col("cosine").isNotNull())
     top = scored.groupBy(
         F.window("_ts", window).alias("w"), F.col("probe_id")
@@ -104,3 +110,128 @@ def stream_cosine_topk(
         (F.col("pos") + 1).cast("int").alias("rank"),
         F.col("entry.neighbor_id").alias("neighbor_id"),
     )
+
+
+def stream_ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "vec",
+    corpus_id_col: str = "vec_id",
+    corpus_vec_col: str = "embedding",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-routed streaming ANN — the scale path of
+    ``stream_cosine_topk``: the static corpus is pre-assigned to coarse
+    cells ONCE (batch window argmin, identical to
+    ``similarity.ivf_topk``), each streaming probe routes to its
+    ``nprobe`` nearest cells through a per-row expression over the tiny
+    cell table (collected once at plan time — n_cells rows, the
+    PQ-codebook pattern; no window function on the stream), and the
+    stream-static join keys on ``cell_id``, so every probe scans
+    O(N·nprobe/n_cells) corpus rows instead of N.  Result contract and
+    windowed emission are identical to ``stream_cosine_topk``; same
+    cell quantizer as ``ivf_topk`` (first n_cells corpus vectors, or
+    trained ``centroids``), so batch and stream route identically."""
+    c = corpus.select(
+        F.col(corpus_id_col).alias("vid"),
+        F.col(corpus_vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnrm", _norm(F.col("cvec")))
+    if centroids is not None:
+        cells_df = corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+            "cell_id long, ccvec array<double>",
+        ).withColumn("ccnrm", _norm(F.col("ccvec")))
+    else:
+        cells_df = c.where(F.col("vid") < n_cells).select(
+            F.col("vid").alias("cell_id"),
+            F.col("cvec").alias("ccvec"),
+            F.col("cnrm").alias("ccnrm"),
+        )
+    # corpus-side assignment (batch; window argmin like ivf_topk)
+    from pyspark.sql.window import Window
+
+    scored_cells = c.join(F.broadcast(cells_df)).select(
+        "vid",
+        "cvec",
+        "cnrm",
+        "cell_id",
+        F.try_divide(
+            _dot(F.col("cvec"), F.col("ccvec")),
+            F.col("cnrm") * F.col("ccnrm"),
+        ).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.col("csim").desc(), F.col("cell_id").asc()
+    )
+    assigned = (
+        scored_cells.withColumn("crn", F.row_number().over(w_assign))
+        .where(F.col("crn") == 1)
+        .select(
+            F.col("vid").alias("neighbor_id"), "cvec", "cnrm", "cell_id"
+        )
+    )
+    # probe-side routing: nprobe nearest cells via an expression over
+    # the collected cell table (cnrm reused from the SAME JVM fold, so
+    # batch and stream scores are bit-identical)
+    cell_rows = cells_df.select("cell_id", "ccvec", "ccnrm").collect()
+    cells_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell_id"])).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r["ccvec"]]).alias("ccvec"),
+                F.lit(float(r["ccnrm"])).alias("ccnrm"),
+            )
+            for r in cell_rows
+        ]
+    )
+    p = probes.withWatermark(ts_col, watermark_delay).select(
+        F.col(ts_col).alias("_ts"),
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(probe_vec_col).cast("array<double>").alias("pvec"),
+    ).withColumn("pnrm", _norm(F.col("pvec")))
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                cells_lit,
+                lambda cell: F.struct(
+                    (
+                        -F.try_divide(
+                            _dot(F.col("pvec"), cell["ccvec"]),
+                            F.col("pnrm") * cell["ccnrm"],
+                        )
+                    ).alias("negs"),
+                    cell["cell_id"].alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    routed = p.select(
+        "_ts",
+        "probe_id",
+        "pvec",
+        "pnrm",
+        F.explode(ranked_cells).alias("pc"),
+    ).select(
+        "_ts", "probe_id", "pvec", "pnrm", F.col("pc.cell_id").alias("pcell")
+    )
+    scored = routed.join(
+        assigned, F.col("pcell") == F.col("cell_id")
+    ).where(F.col("probe_id") != F.col("neighbor_id")).select(
+        "_ts",
+        "probe_id",
+        "neighbor_id",
+        F.try_divide(
+            _dot(F.col("pvec"), F.col("cvec")),
+            F.col("pnrm") * F.col("cnrm"),
+        ).alias("cosine"),
+    )
+    return _windowed_topk(scored, window, k)

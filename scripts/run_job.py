@@ -32,14 +32,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--mode",
-        choices=["batch", "stream", "debug", "dedup-stream", "dedup-verdict"],
+        choices=[
+            "batch",
+            "stream",
+            "debug",
+            "dedup-stream",
+            "dedup-verdict",
+            "span-dedup",
+        ],
         default="batch",
+    )
+    ap.add_argument(
+        "--span-tokens",
+        type=int,
+        default=8,
+        help="span-dedup mode: tokens per dedup span",
     )
     ap.add_argument("--horizon", default="1 day", help="dedup-stream pairing horizon")
     ap.add_argument(
         "--emit-clean",
         action="store_true",
-        help="dedup-verdict mode: also write the kept corpus",
+        help="dedup-verdict / span-dedup modes: also write the kept corpus",
     )
     ap.add_argument(
         "--available-now",
@@ -146,6 +159,50 @@ def main() -> None:
             keep = decisions.where(F.col("reason") == "keep").select("doc_id")
             (
                 docs.join(keep, "doc_id", "left_semi")
+                .write.mode("overwrite")
+                .parquet(f"{args.output}/clean")
+            )
+        spark.stop()
+        return
+
+    if args.mode == "span-dedup":
+        # C4-style span-level dedup over a documents/pages table:
+        # writes the per-span verdict table and the per-doc rewrite
+        # summary; --emit-clean additionally materializes the rewritten
+        # corpus (kept spans re-joined in order)
+        from kelos_on_kafka_spark.operators.dedup import (
+            span_clean_docs,
+            span_dedup_verdicts,
+        )
+
+        raw = spark.read.parquet(args.input)
+        docs = raw
+        if "doc_id" not in set(docs.schema.fieldNames()):
+            docs = raw.select(
+                F.abs(F.xxhash64("url")).alias("doc_id"), "text"
+            )
+        span_dedup_verdicts(docs, span_tokens=args.span_tokens).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/span_verdicts")
+        span_clean_docs(docs, span_tokens=args.span_tokens).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/doc_summary")
+        if args.emit_clean:
+            v = span_dedup_verdicts(
+                docs, span_tokens=args.span_tokens, with_span=True
+            )
+            kept = F.when(~F.col("is_dup"), F.struct("span_idx", "span"))
+            (
+                v.groupBy("doc_id")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept)),
+                            lambda s: s["span"],
+                        ),
+                        " ",
+                    ).alias("text")
+                )
                 .write.mode("overwrite")
                 .parquet(f"{args.output}/clean")
             )

@@ -93,3 +93,52 @@ def test_stream_topk_excludes_self_and_is_rerun_stable(
     assert all(r.neighbor_id != r.probe_id for r in rows)
     rows2 = _run_stream(spark, tmp_path, corpus, [7, 8])
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_stream_ivf_matches_batch_ivf(spark, tmp_path, corpus):
+    """IVF-routed streaming ANN reproduces batch ivf_topk exactly: same
+    deterministic cell quantizer, same routing, same ranking."""
+    from kelos_on_kafka_spark.operators.similarity import ivf_topk
+    from kelos_on_kafka_spark.streaming.ann_stream import stream_ivf_topk
+
+    probe_ids = [0, 3, 9, 17, 25]
+    probes = corpus.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.timestamp_seconds(
+            F.lit(BASE_S) + (F.col("vec_id") % 2) * 3600
+        ).alias("ts"),
+        F.col("embedding").alias("vec"),
+    )
+    src = str(tmp_path / f"ivf_{uuid.uuid4().hex[:8]}")
+    probes.coalesce(1).write.parquet(f"{src}/data")
+    spark.createDataFrame(
+        [(999_999, BASE_S + 10 * 3600)], "probe_id long, sec long"
+    ).select(
+        "probe_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.array(*[F.lit(0.0)] * DIM).cast("array<float>").alias("vec"),
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "probe_id long, ts timestamp, vec array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_ivf_topk(
+        stream, corpus, k=4, n_cells=8, nprobe=2, window="1 hour"
+    )
+    name = f"ivf_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).where(F.col("probe_id") < 999_999).collect()
+    got = sorted((r.probe_id, r.rank, r.neighbor_id) for r in rows)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(corpus, probe_ids, k=4, n_cells=8, nprobe=2).collect(),
+        )
+    )
+    assert got == want

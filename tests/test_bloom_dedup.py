@@ -219,3 +219,71 @@ def test_bloom_dedup_sharded_fps_match_python_reference(spark, tmp_path):
     # single tiny filter (the capacity argument, observed)
     unsharded = _py_reference(rows, n_bits, k, 1000)
     assert len(got) > len(unsharded)
+
+
+def test_bloom_dedup_resumes_from_checkpoint(spark, tmp_path):
+    """Kill/resume: the per-pane filter state survives a checkpointed
+    restart — keys first seen before the restart stay deduped after it,
+    and the union of both phases' output equals the single-run
+    reference."""
+    rows = [(i, 10 + i // 4, i % 7) for i in range(60)]  # dups everywhere
+    split = 30
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def _write(chunk, name):
+        (
+            spark.createDataFrame(
+                chunk, "event_id long, sec long, user_id long"
+            )
+            .coalesce(1)
+            .sortWithinPartitions("sec", "event_id")
+            .select(
+                "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+            )
+            .write.parquet(f"{src}/{name}")
+        )
+
+    def _run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+        q = (
+            bloom_dedup.stream_bloom_dedup(
+                stream,
+                key_col="user_id",
+                ts_col="ts",
+                id_col="event_id",
+                pane_seconds=1000,
+                n_bits=1 << 16,
+                k=4,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(rows[:split], "f0")
+    _run()
+    phase1 = sorted(
+        (r.pane_id, r.key_h1, r.row_id, r.ts_us)
+        for r in spark.read.parquet(sink).collect()
+    )
+    _write(rows[split:], "f1")
+    _run()
+    both = sorted(
+        (r.pane_id, r.key_h1, r.row_id, r.ts_us)
+        for r in spark.read.parquet(sink).collect()
+    )
+    want = _py_reference(rows, 1 << 16, 4, 1000)
+    assert both == want
+    # no re-emission: phase 2 added only rows the reference adds after
+    # the split, i.e. keys 0-6 were all seen in phase 1 -> nothing new
+    assert phase1 == want  # all 7 keys first occur before the split
+    assert both == phase1

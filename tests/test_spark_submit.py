@@ -70,3 +70,72 @@ def test_spark_submit_batch_mode(spark, tmp_path):
     assert got.count() > 0
     cols = set(got.columns)
     assert {"shard", "window_id", "rank", "point_id", "klome"} <= cols
+
+
+def test_spark_submit_span_dedup_mode(spark, tmp_path):
+    """span-dedup mode through spark-submit: verdicts + per-doc summary
+    + rewritten corpus land, and the summary agrees with the library
+    computed in-process."""
+    zpath = str(tmp_path / "kelos.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "kelos_on_kafka_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    from kelos_on_kafka_spark.sources.pages import (
+        synth_pages,
+        write_pages_parquet,
+    )
+
+    inp = str(tmp_path / "pages")
+    write_pages_parquet(
+        spark, synth_pages(n=400, seed=3, pages_per_pane=100), inp,
+        partitions=2,
+    )
+    out = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    r = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zpath,
+            os.path.join(REPO, "scripts", "run_job.py"),
+            "--mode",
+            "span-dedup",
+            "--span-tokens",
+            "8",
+            "--emit-clean",
+            "--input",
+            inp,
+            "--output",
+            out,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    from pyspark.sql import functions as F
+
+    from kelos_on_kafka_spark.operators.dedup import span_clean_docs
+
+    summary = spark.read.parquet(f"{out}/doc_summary")
+    clean = spark.read.parquet(f"{out}/clean")
+    verdicts = spark.read.parquet(f"{out}/span_verdicts")
+    docs = spark.read.parquet(inp).select(
+        F.abs(F.xxhash64("url")).alias("doc_id"), "text"
+    )
+    want = sorted(map(tuple, span_clean_docs(docs, span_tokens=8).collect()))
+    assert sorted(map(tuple, summary.collect())) == want
+    assert clean.count() == summary.count()
+    assert verdicts.where(F.col("is_dup")).count() > 0  # synth pages repeat
