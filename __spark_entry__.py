@@ -2012,6 +2012,22 @@ def q_stream_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("pane_id", "key_h1", "row_id", "ts_us")
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized k-step funnel (temporal.funnel_steps): leftmost-
+    greedy click -> view -> purchase within 2 days, one shuffle + three
+    chained window passes, no self-joins."""
+    from kelos_on_kafka_spark.operators.temporal import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        steps=["click", "view", "purchase"],
+        within_us=2 * DAY_US,
+    )
+
+
 def q_kelos_topn_epan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KELOS top-N under the Epanechnikov kernel option
     (core.KERNELS / KelosConfig.kernel — compact-support extension;
@@ -2062,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_clean": q_span_clean,
         "props_extract": q_props_extract,
         "weighted_strat_cap": q_weighted_strat_cap,
+        "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
         "stream_bloom_sharded": q_stream_bloom_sharded,
@@ -3164,6 +3181,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, priority, sample_rank
             FROM r WHERE sample_rank <= 10
+        """,
+        "funnel_steps": """
+            WITH s0 AS (
+              SELECT user_id, min(epoch_us(ts)) AS s0
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), s1 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS s1
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'view' AND epoch_us(e.ts) > s0.s0
+              GROUP BY e.user_id
+            ), s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS s2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.s1
+              GROUP BY e.user_id
+            )
+            SELECT s0.user_id,
+                   s0.s0 AS s0_us,
+                   coalesce(s1.s1, -1) AS s1_us,
+                   coalesce(s2.s2, -1) AS s2_us,
+                   (s2.s2 IS NOT NULL
+                    AND s2.s2 - s0.s0 <= 172800000000) AS matched,
+                   CASE WHEN s2.s2 IS NOT NULL
+                             AND s2.s2 - s0.s0 <= 172800000000
+                        THEN s2.s2 - s0.s0 ELSE -1 END AS duration_us
+            FROM s0
+            LEFT JOIN s1 ON s0.user_id = s1.user_id
+            LEFT JOIN s2 ON s0.user_id = s2.user_id
         """,
         "stream_knn": """
             WITH c AS (

@@ -210,6 +210,7 @@ def main() -> None:
         "span_clean",
         "props_extract",
         "weighted_strat_cap",
+        "funnel_steps",
     ]
     total = kelos_secs
     for name in bench_queries:

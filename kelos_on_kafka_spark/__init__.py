@@ -38,6 +38,7 @@ __all__ = [
     "weighted_priority_sample",
     "absence_matches",
     "gap_tolerant_matches",
+    "funnel_steps",
     "pq_topk",
     "train_pq_codebooks",
     "stream_bloom_dedup",
@@ -79,6 +80,7 @@ _LAZY = {
     "weighted_priority_sample": ("kelos_on_kafka_spark.operators.sampling", None),
     "absence_matches": ("kelos_on_kafka_spark.operators.temporal", None),
     "gap_tolerant_matches": ("kelos_on_kafka_spark.operators.temporal", None),
+    "funnel_steps": ("kelos_on_kafka_spark.operators.temporal", None),
     "pq_topk": ("kelos_on_kafka_spark.operators.similarity", None),
     "train_pq_codebooks": ("kelos_on_kafka_spark.operators.similarity", None),
     "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),

@@ -274,3 +274,78 @@ def gap_tolerant_matches(
             F.col("__ts_us").alias("end_ts_us"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_us: int | None = None,
+) -> DataFrame:
+    """Generalized k-step funnel (leftmost-greedy CEP): per key, the
+    earliest step-1 event, then the earliest step-2 event STRICTLY
+    after it, and so on — the compiler behind the fixed 2-/3-step
+    pattern operators (``sequence_matches``/``gap_tolerant_matches``
+    cover the adjacency-constrained forms; this is the any-events-
+    between product-analytics funnel for arbitrary length).
+
+    Semantics (deterministic, engine-portable): greedy leftmost
+    matching — step i's timestamp is ``min ts`` among events of
+    ``steps[i]`` with ``ts > step_{i-1}_ts``; ``matched`` iff every
+    step resolved and (when ``within_us``) the full chain fits in the
+    horizon.  Greedy-with-deadline is the standard funnel-analytics
+    contract; a non-greedy chain that would fit the horizon while the
+    greedy one does not is NOT reported (documented limitation shared
+    with every running-min funnel implementation).
+
+    Returns one row per key that has at least one step-1 event:
+    (key, s0_us..s{k-1}_us with -1 for unresolved, matched,
+    duration_us with -1 when unmatched).
+
+    Plan shape: ONE shuffle on the key; k chained window aggregates
+    over the same partitioning (no self-joins — a k-way join funnel
+    explodes on hot keys); final distinct collapses to one row per
+    key, map-side combinable."""
+    if len(steps) < 2:
+        raise ValueError("funnel_steps needs at least 2 steps")
+    w = Window.partitionBy(key_col).orderBy(F.col("_ts_us").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    df = events.select(
+        F.col(key_col),
+        epoch_us(ts_col).alias("_ts_us"),
+        F.col(type_col).alias("_tp"),
+    )
+    names = []
+    for i, step in enumerate(steps):
+        cond = F.col("_tp") == step
+        if i > 0:
+            cond = cond & F.col(names[-1]).isNotNull() & (
+                F.col("_ts_us") > F.col(names[-1])
+            )
+        name = f"_s{i}"
+        df = df.withColumn(
+            name, F.min(F.when(cond, F.col("_ts_us"))).over(w)
+        )
+        names.append(name)
+    first, last = F.col(names[0]), F.col(names[-1])
+    matched = last.isNotNull()
+    if within_us is not None:
+        matched = matched & (last - first <= F.lit(int(within_us)))
+    return (
+        df.where(first.isNotNull())
+        .select(
+            F.col(key_col),
+            *[
+                F.coalesce(F.col(n), F.lit(-1)).alias(f"s{i}_us")
+                for i, n in enumerate(names)
+            ],
+            matched.alias("matched"),
+            F.when(matched, last - first).otherwise(F.lit(-1)).alias(
+                "duration_us"
+            ),
+        )
+        .distinct()
+    )

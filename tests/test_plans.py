@@ -60,6 +60,7 @@ def test_relational_queries_have_no_python_stage(spark):
         "span_clean",
         "props_extract",
         "weighted_strat_cap",
+        "funnel_steps",
         "hash_split",
         "stratified_cap",
         "det_sample",

@@ -201,3 +201,77 @@ def test_gap_tolerant_matches_planted_cases(spark):
         ).collect()
     )
     assert got == [(1, 1, 4)]
+
+
+def test_funnel_steps_leftmost_greedy(spark):
+    """Hand-built chains: full match, partial (missing tail), deadline
+    miss, and the documented greedy limitation (a later start that
+    would fit the horizon is not used)."""
+    from kelos_on_kafka_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # user 1: A@10 B@20 C@30 — full match, duration 20s
+        (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+        # user 2: A@10 B@20, no C — unmatched, s2 = -1
+        (2, 10, "A"), (2, 20, "B"),
+        # user 3: B@5 A@10 C@20 — B before A does not count; no B after
+        (3, 5, "B"), (3, 10, "A"), (3, 20, "C"),
+        # user 4: A@10 B@20 C@200 — chain resolves but misses within=60s
+        (4, 10, "A"), (4, 20, "B"), (4, 200, "C"),
+        # user 5: greedy limitation — A@10 B@20 ... C@100 misses 60s,
+        # though A@50 B@60 C@100 would fit; greedy anchors at A@10
+        (5, 10, "A"), (5, 20, "B"), (5, 50, "A"), (5, 60, "B"), (5, 100, "C"),
+        # user 6: no A at all — not emitted
+        (6, 10, "B"), (6, 20, "C"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, 1_700_000_000 + s, t) for u, s, t in rows],
+        "user_id long, sec long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "event_type",
+    )
+    out = {
+        r.user_id: (r.s0_us, r.s1_us, r.s2_us, r.matched, r.duration_us)
+        for r in funnel_steps(
+            ev, "user_id", "ts", "event_type", ["A", "B", "C"],
+            within_us=60_000_000,
+        ).collect()
+    }
+    base = 1_700_000_000 * 1_000_000
+
+    def us(s):
+        return base + s * 1_000_000
+
+    assert out[1] == (us(10), us(20), us(30), True, 20_000_000)
+    assert out[2] == (us(10), us(20), -1, False, -1)
+    assert out[3] == (us(10), -1, -1, False, -1)
+    assert out[4] == (us(10), us(20), us(200), False, -1)
+    assert out[5] == (us(10), us(20), us(100), False, -1)
+    assert 6 not in out
+    assert len(out) == 5
+
+
+def test_funnel_steps_repartition_stable_and_validates(spark):
+    from kelos_on_kafka_spark.operators.temporal import funnel_steps
+
+    rows = [
+        (i % 9, 1_700_000_000 + i, ("A", "B", "C", "D")[i % 4])
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, sec long, event_type string"
+    ).select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    a = sorted(map(tuple, funnel_steps(
+        ev, "user_id", "ts", "event_type", ["A", "B", "C"]
+    ).collect()))
+    b = sorted(map(tuple, funnel_steps(
+        ev.repartition(7, "sec"), "user_id", "ts", "event_type",
+        ["A", "B", "C"],
+    ).collect()))
+    assert a == b and len(a) == 9
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel_steps(ev, "user_id", "ts", "event_type", ["A"])
