@@ -2012,6 +2012,37 @@ def q_stream_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("pane_id", "key_h1", "row_id", "ts_us")
 
 
+def q_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup modulo normalization (textstats.normalized_dup_groups):
+    lower/strip-punct/collapse-whitespace canonical form, md5 grouped —
+    catches the variants byte-exact dedup misses at the same cost."""
+    return textstats.normalized_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup (day x event_type, all four grouping sets) with
+    integer/decimal-exact aggregates — the full-lattice OLAP companion
+    to rollup_panes' GROUPING SETS."""
+    ev = _t(spark, sf_dir, "events").select(
+        windowing.pane_id("ts", 86400).alias("day_id"),
+        "event_type",
+        "value",
+    )
+    return ev.cube("day_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.grouping_id().cast("long").alias("gid"),
+    ).select(
+        F.coalesce(F.col("day_id"), F.lit(-1)).alias("day_id"),
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        "gid",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized k-step funnel (temporal.funnel_steps): leftmost-
     greedy click -> view -> purchase within 2 days, one shuffle + three
@@ -2078,6 +2109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_clean": q_span_clean,
         "props_extract": q_props_extract,
         "weighted_strat_cap": q_weighted_strat_cap,
+        "norm_dedup": q_norm_dedup,
+        "cube_events": q_cube_events,
         "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
@@ -3181,6 +3214,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, priority, sample_rank
             FROM r WHERE sample_rank <= 10
+        """,
+        "norm_dedup": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[.,;:!?''"()\\[\\]{}]', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_fp
+              FROM documents
+            )
+            SELECT doc_id, norm_fp,
+                   min(doc_id) OVER (PARTITION BY norm_fp) AS keeper_id,
+                   cast(count(*) OVER (PARTITION BY norm_fp) AS BIGINT)
+                     AS n_variants
+            FROM f
+        """,
+        "cube_events": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 86400000000 AS day_id,
+                     event_type, value
+              FROM events
+            )
+            SELECT coalesce(day_id, -1) AS day_id,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   cast(grouping(day_id, event_type) AS BIGINT) AS gid,
+                   count(*) AS n_events,
+                   cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM e GROUP BY CUBE (day_id, event_type)
         """,
         "funnel_steps": """
             WITH s0 AS (

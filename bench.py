@@ -211,6 +211,8 @@ def main() -> None:
         "props_extract",
         "weighted_strat_cap",
         "funnel_steps",
+        "norm_dedup",
+        "cube_events",
     ]
     total = kelos_secs
     for name in bench_queries:

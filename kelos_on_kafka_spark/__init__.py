@@ -39,6 +39,8 @@ __all__ = [
     "absence_matches",
     "gap_tolerant_matches",
     "funnel_steps",
+    "normalize_text",
+    "normalized_dup_groups",
     "pq_topk",
     "train_pq_codebooks",
     "stream_bloom_dedup",
@@ -81,6 +83,8 @@ _LAZY = {
     "absence_matches": ("kelos_on_kafka_spark.operators.temporal", None),
     "gap_tolerant_matches": ("kelos_on_kafka_spark.operators.temporal", None),
     "funnel_steps": ("kelos_on_kafka_spark.operators.temporal", None),
+    "normalize_text": ("kelos_on_kafka_spark.operators.textstats", None),
+    "normalized_dup_groups": ("kelos_on_kafka_spark.operators.textstats", None),
     "pq_topk": ("kelos_on_kafka_spark.operators.similarity", None),
     "train_pq_codebooks": ("kelos_on_kafka_spark.operators.similarity", None),
     "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),

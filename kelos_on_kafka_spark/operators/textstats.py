@@ -474,3 +474,43 @@ def corpus_report(
             .alias("n_exact_dups"),
         )
     )
+
+
+def normalize_text(text_col: str = "text", strip_punct: bool = True) -> Column:
+    """Canonical text form for near-exact dedup: lower-case, optional
+    punctuation strip, whitespace collapsed to single spaces, trimmed.
+    Portable regex subset (identical semantics under Java regex and
+    RE2/DuckDB), so the normalized form — and anything derived from it —
+    is reproducible in an external SQL engine.  (Unicode NFC/NFKC
+    folding needs ICU and is NOT applied; at deployment add it in front
+    of this as a pre-pass if the corpus requires it.)"""
+    t = F.lower(F.col(text_col))
+    if strip_punct:
+        t = F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", "")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def normalized_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strip_punct: bool = True,
+) -> DataFrame:
+    """Exact dedup MODULO normalization — catches the case/whitespace/
+    punctuation variants byte-exact dedup misses, at exactly the same
+    cost (one md5 per doc, one 16-byte-digest shuffle).  Returns one
+    row per doc: (doc_id, norm_fp, keeper_id, n_variants); filter
+    ``doc_id != keeper_id`` for the drop list."""
+    from pyspark.sql.window import Window
+
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_text(text_col, strip_punct)).alias("norm_fp"),
+    )
+    w = Window.partitionBy("norm_fp")
+    return fp.select(
+        "doc_id",
+        "norm_fp",
+        F.min("doc_id").over(w).alias("keeper_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_variants"),
+    )

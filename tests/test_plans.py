@@ -61,6 +61,8 @@ def test_relational_queries_have_no_python_stage(spark):
         "props_extract",
         "weighted_strat_cap",
         "funnel_steps",
+        "norm_dedup",
+        "cube_events",
         "hash_split",
         "stratified_cap",
         "det_sample",

@@ -175,3 +175,31 @@ def test_repetition_stats_matches_python_reference(spark, tokses, ws):
     }
     for i, text in enumerate(texts):
         assert got[i] == _py_repetition(text), repr(text)
+
+
+def test_normalize_text_and_normalized_dups(spark):
+    from kelos_on_kafka_spark.operators import textstats
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),          # same after normalization
+        (3, "HELLO\tWORLD "),        # same after normalization
+        (4, "hello worlds"),         # different
+        (5, "hello, world?"),        # same after punct strip
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", textstats.normalize_text().alias("n")
+        ).collect()
+    }
+    assert norm[1] == norm[2] == norm[3] == norm[5] == "hello world"
+    assert norm[4] == "hello worlds"
+    got = {
+        r.doc_id: (r.keeper_id, r.n_variants)
+        for r in textstats.normalized_dup_groups(df).collect()
+    }
+    assert got[1] == (1, 4) and got[2] == (1, 4)
+    assert got[3] == (1, 4) and got[5] == (1, 4)
+    assert got[4] == (4, 1)
