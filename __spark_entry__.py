@@ -2059,6 +2059,56 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming funnel (streaming/funnel_stream.py): the
+    k-step greedy chain as O(k)-state-per-key applyInPandasWithState,
+    emitting a key's row the moment its chain completes within the
+    deadline; deadline-passed state is watermark-evicted.  Oracle: the
+    batch funnel's matched rows (single sorted staging file = in-order
+    arrival, the contract the operator documents)."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.funnel_stream import stream_funnel
+
+    src = tempfile.mkdtemp(prefix="sfunnel_src_")
+    (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+            "event_type",
+        )
+        .coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data")
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id bigint, ts timestamp, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/data")
+    name = f"sfunnel_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_funnel(
+            stream,
+            key_col="user_id",
+            ts_col="ts",
+            type_col="event_type",
+            steps=["click", "view", "purchase"],
+            within_us=2 * DAY_US,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "key", "s0_us", "s1_us", "s2_us", "matched", "duration_us"
+    )
+
+
 def q_kelos_topn_epan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KELOS top-N under the Epanechnikov kernel option
     (core.KERNELS / KelosConfig.kernel — compact-support extension;
@@ -2115,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
         "stream_bloom_sharded": q_stream_bloom_sharded,
+        "stream_funnel": q_stream_funnel,
         "kelos_topn_epan": q_kelos_topn_epan,
         # --- KELOS debug surface (rows-only by design; keep gated) ---
         "kelos_topn": q_kelos_topn,
@@ -3333,6 +3384,30 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000 AS window_start_us,
                    probe_id, rn AS rank, neighbor_id
             FROM r WHERE rn <= 5
+        """,
+        "stream_funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(epoch_us(ts)) AS s0
+              FROM events WHERE event_type = 'click' GROUP BY user_id
+            ), s1 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS s1
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'view' AND epoch_us(e.ts) > s0.s0
+              GROUP BY e.user_id
+            ), s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS s2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.s1
+              GROUP BY e.user_id
+            )
+            SELECT s0.user_id AS key,
+                   s0.s0 AS s0_us, s1.s1 AS s1_us, s2.s2 AS s2_us,
+                   TRUE AS matched,
+                   s2.s2 - s0.s0 AS duration_us
+            FROM s0
+            JOIN s1 ON s0.user_id = s1.user_id
+            JOIN s2 ON s0.user_id = s2.user_id
+            WHERE s2.s2 - s0.s0 <= 172800000000
         """,
         "stream_bloom_sharded": """
             WITH e AS (

@@ -56,6 +56,7 @@ __all__ = [
     "weighted_stratified_cap",
     "stream_cosine_topk",
     "stream_ivf_topk",
+    "stream_funnel",
     "props_stats",
     "json_long",
 ]
@@ -100,6 +101,7 @@ _LAZY = {
     "weighted_stratified_cap": ("kelos_on_kafka_spark.operators.sampling", None),
     "stream_cosine_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
     "stream_ivf_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
+    "stream_funnel": ("kelos_on_kafka_spark.streaming.funnel_stream", None),
     "props_stats": ("kelos_on_kafka_spark.operators.semistruct", None),
     "json_long": ("kelos_on_kafka_spark.operators.semistruct", None),
 }
