@@ -58,6 +58,8 @@ __all__ = [
     "stream_ivf_topk",
     "stream_funnel",
     "props_stats",
+    "parse_warc_segments",
+    "warc_to_pages",
     "json_long",
 ]
 __version__ = "0.4.0"
@@ -103,6 +105,8 @@ _LAZY = {
     "stream_ivf_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
     "stream_funnel": ("kelos_on_kafka_spark.streaming.funnel_stream", None),
     "props_stats": ("kelos_on_kafka_spark.operators.semistruct", None),
+    "parse_warc_segments": ("kelos_on_kafka_spark.sources.warc", None),
+    "warc_to_pages": ("kelos_on_kafka_spark.sources.warc", None),
     "json_long": ("kelos_on_kafka_spark.operators.semistruct", None),
 }
 
