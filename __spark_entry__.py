@@ -2043,6 +2043,25 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-snapshot delta (plans/maintenance.snapshot_diff):
+    added/removed/changed/unchanged per doc between two deterministic
+    variants of the documents table — both engines build the same two
+    snapshots, the operator under test is the fingerprint full-outer
+    diff (content never shuffles, only 16-byte digests)."""
+    from kelos_on_kafka_spark.plans.maintenance import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, ["doc_id"])
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized k-step funnel (temporal.funnel_steps): leftmost-
     greedy click -> view -> purchase within 2 days, one shuffle + three
@@ -2161,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_strat_cap": q_weighted_strat_cap,
         "norm_dedup": q_norm_dedup,
         "cube_events": q_cube_events,
+        "snapshot_diff": q_snapshot_diff,
         "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
@@ -3293,6 +3313,25 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_value
             FROM e GROUP BY CUBE (day_id, event_type)
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(text) AS fp
+              FROM documents WHERE doc_id % 7 != 0
+            ), new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 5 = 0
+                              THEN concat(text, ' v2') ELSE text END) AS fp
+              FROM documents WHERE doc_id % 11 != 0
+            )
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   coalesce(old.fp, '') AS old_fp,
+                   coalesce(new.fp, '') AS new_fp,
+                   CASE WHEN old.fp IS NULL THEN 'added'
+                        WHEN new.fp IS NULL THEN 'removed'
+                        WHEN old.fp != new.fp THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
         """,
         "funnel_steps": """
             WITH s0 AS (

@@ -213,6 +213,7 @@ def main() -> None:
         "funnel_steps",
         "norm_dedup",
         "cube_events",
+        "snapshot_diff",
     ]
     total = kelos_secs
     for name in bench_queries:

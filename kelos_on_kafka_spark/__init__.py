@@ -46,6 +46,7 @@ __all__ = [
     "stream_bloom_dedup",
     "write_routed_stream",
     "expire_partitions",
+    "snapshot_diff",
     "url_host",
     "registered_domain",
     "domain_stats",
@@ -93,6 +94,7 @@ _LAZY = {
     "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),
     "write_routed_stream": ("kelos_on_kafka_spark.streaming.sink", None),
     "expire_partitions": ("kelos_on_kafka_spark.plans.maintenance", None),
+    "snapshot_diff": ("kelos_on_kafka_spark.plans.maintenance", None),
     "url_host": ("kelos_on_kafka_spark.operators.webtext", None),
     "registered_domain": ("kelos_on_kafka_spark.operators.webtext", None),
     "domain_stats": ("kelos_on_kafka_spark.operators.webtext", None),

@@ -134,3 +134,39 @@ def expire_partitions(
             fsutil.delete_dir(full_path)
             dropped.append(value)
     return dropped
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    content_col: str = "text",
+) -> DataFrame:
+    """Corpus-snapshot delta: one row per key in either snapshot with
+    ``status`` in (added, removed, changed, unchanged) plus both
+    content fingerprints — the audit table an incremental pipeline
+    publishes per snapshot (and the input to delta-scoped reprocessing:
+    re-embed/re-score only ``status != 'unchanged'``).
+
+    Scale shape: each side reduces to (key, 16-byte md5) before the
+    full-outer join — content never shuffles; the join is one exchange
+    per side on the key."""
+    of = old.select(
+        *key_cols, F.md5(F.col(content_col)).alias("old_fp")
+    )
+    nf = new.select(
+        *key_cols, F.md5(F.col(content_col)).alias("new_fp")
+    )
+    j = of.join(nf, key_cols, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *key_cols,
+        F.coalesce(F.col("old_fp"), F.lit("")).alias("old_fp"),
+        F.coalesce(F.col("new_fp"), F.lit("")).alias("new_fp"),
+        status.alias("status"),
+    )

@@ -182,3 +182,24 @@ def test_expire_partitions_drops_only_expired(spark, tmp_path):
         M.expire_partitions(spark, str(tmp_path / "nope"), "day", lambda v: True)
         == []
     )
+
+
+def test_snapshot_diff_statuses(spark):
+    from kelos_on_kafka_spark.plans.maintenance import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-modified"), (4, "d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, ["doc_id"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # fingerprints present and empty-string-coalesced on missing sides
+    rows = {r.doc_id: r for r in snapshot_diff(old, new, ["doc_id"]).collect()}
+    assert rows[1].new_fp == "" and rows[4].old_fp == ""
+    assert rows[2].old_fp == rows[2].new_fp != ""

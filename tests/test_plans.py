@@ -63,6 +63,7 @@ def test_relational_queries_have_no_python_stage(spark):
         "funnel_steps",
         "norm_dedup",
         "cube_events",
+        "snapshot_diff",
         "hash_split",
         "stratified_cap",
         "det_sample",
