@@ -2078,6 +2078,70 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic streaming downsampling (streaming/sample_stream.py):
+    at most 20 events per 12h pane by portable-hash priority, O(n)
+    state per pane, emitted on watermark close.  Priorities stay LONG
+    end-to-end (a double value column would round 60-bit hashes), so
+    the exact per-pane hash-order oracle applies.  Staging pattern =
+    q_stream_topn (range-partitioned sorted files + span watermark +
+    sentinel)."""
+    import tempfile
+    import uuid
+
+    pane_s = 43200
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (windowing.epoch_us("ts") / F.lit(1_000_000))
+        .cast("long")
+        .alias("sec"),
+    )
+    row = ev.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi")).first()
+    span_s = int(row["hi"] - row["lo"]) + pane_s
+    sentinel_pane = int(row["hi"] // pane_s + 2)
+    sentinel_sec = sentinel_pane * pane_s + span_s
+    src = tempfile.mkdtemp(prefix="ssample_src_")
+    (
+        ev.repartitionByRange(4, "sec")
+        .sortWithinPartitions("sec", "event_id")
+        .select("event_id", F.timestamp_seconds("sec").alias("ts"))
+        .write.parquet(f"{src}/data.parquet")
+    )
+    spark.createDataFrame(
+        [(999_999_999, sentinel_sec)], "event_id long, sec long"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts")
+    ).coalesce(1).write.parquet(f"{src}/sentinel.parquet")
+
+    from kelos_on_kafka_spark.streaming.sample_stream import (
+        stream_pane_sample,
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/*.parquet")
+    )
+    name = f"ssample_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_pane_sample(
+            stream,
+            n=20,
+            pane_seconds=pane_s,
+            watermark_delay=f"{span_s} seconds",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(
+        F.col("pane_id") < F.lit(sentinel_pane)
+    ).select("pane_id", "sample_rank", "row_id", "priority")
+
+
 def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming funnel (streaming/funnel_stream.py): the
     k-step greedy chain as O(k)-state-per-key applyInPandasWithState,
@@ -2186,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_knn_ivf": q_stream_knn_ivf,
         "stream_bloom_sharded": q_stream_bloom_sharded,
         "stream_funnel": q_stream_funnel,
+        "stream_sample": q_stream_sample,
         "kelos_topn_epan": q_kelos_topn_epan,
         # --- KELOS debug surface (rows-only by design; keep gated) ---
         "kelos_topn": q_kelos_topn,
@@ -3423,6 +3488,24 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000 AS window_start_us,
                    probe_id, rn AS rank, neighbor_id
             FROM r WHERE rn <= 5
+        """,
+        "stream_sample": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 43200000000 AS pane_id,
+                     event_id,
+                     cast(concat('0x', substr(md5(concat('0:',
+                       cast(event_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       AS priority
+              FROM events
+            ), r AS (
+              SELECT pane_id, event_id AS row_id, priority,
+                     row_number() OVER (
+                       PARTITION BY pane_id ORDER BY priority, event_id
+                     ) AS sample_rank
+              FROM e
+            )
+            SELECT pane_id, sample_rank, row_id, priority
+            FROM r WHERE sample_rank <= 20
         """,
         "stream_funnel": """
             WITH s0 AS (

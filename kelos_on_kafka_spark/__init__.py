@@ -58,6 +58,7 @@ __all__ = [
     "stream_cosine_topk",
     "stream_ivf_topk",
     "stream_funnel",
+    "stream_pane_sample",
     "props_stats",
     "parse_warc_segments",
     "warc_to_pages",
@@ -106,6 +107,7 @@ _LAZY = {
     "stream_cosine_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
     "stream_ivf_topk": ("kelos_on_kafka_spark.streaming.ann_stream", None),
     "stream_funnel": ("kelos_on_kafka_spark.streaming.funnel_stream", None),
+    "stream_pane_sample": ("kelos_on_kafka_spark.streaming.sample_stream", None),
     "props_stats": ("kelos_on_kafka_spark.operators.semistruct", None),
     "parse_warc_segments": ("kelos_on_kafka_spark.sources.warc", None),
     "warc_to_pages": ("kelos_on_kafka_spark.sources.warc", None),
