@@ -47,6 +47,8 @@ __all__ = [
     "write_routed_stream",
     "expire_partitions",
     "snapshot_diff",
+    "zorder_key",
+    "write_zordered",
     "url_host",
     "registered_domain",
     "domain_stats",
@@ -96,6 +98,8 @@ _LAZY = {
     "write_routed_stream": ("kelos_on_kafka_spark.streaming.sink", None),
     "expire_partitions": ("kelos_on_kafka_spark.plans.maintenance", None),
     "snapshot_diff": ("kelos_on_kafka_spark.plans.maintenance", None),
+    "zorder_key": ("kelos_on_kafka_spark.plans.layout", None),
+    "write_zordered": ("kelos_on_kafka_spark.plans.layout", None),
     "url_host": ("kelos_on_kafka_spark.operators.webtext", None),
     "registered_domain": ("kelos_on_kafka_spark.operators.webtext", None),
     "domain_stats": ("kelos_on_kafka_spark.operators.webtext", None),
