@@ -169,8 +169,24 @@ def _epanechnikov_raw(x, h):
     return np.where(np.abs(u) <= 1.0, val, 0.0)
 
 
+# Canonical-bandwidth rescaling: the density stages compute Silverman's
+# rule-of-thumb bandwidth for a GAUSSIAN kernel (1.06·σ·k^(-1/(d+1)),
+# Q3).  Equivalent smoothing under the Epanechnikov kernel needs
+# h_E = (δ0(E)/δ0(G))·h_G with δ0(K) = (R(K)/μ2(K)²)^(1/5):
+# R(E)=3/5, μ2(E)=1/5, R(G)=1/(2√π), μ2(G)=1 → factor = (30·√π)^(1/5).
+# Folding the factor into the registered kernel keeps the shared
+# bandwidth computation untouched (measured: without it the compact
+# support starves the KDE and Precision@|O| drops 0.75 → 0.66 on the
+# HTTP-like protocol, tests/test_effectiveness.py).
+_EPAN_BW_FACTOR = float((30.0 * np.sqrt(np.pi)) ** 0.2)
+
+
+def _epanechnikov_scaled(x, h):
+    return _epanechnikov_raw(x, _EPAN_BW_FACTOR * h)
+
+
 #: Kernel registry for ``KelosConfig.kernel`` / ``window_pipeline``.
-KERNELS = {"gaussian": _kernel_raw, "epanechnikov": _epanechnikov_raw}
+KERNELS = {"gaussian": _kernel_raw, "epanechnikov": _epanechnikov_scaled}
 
 
 # ---------------------------------------------------------------------------

