@@ -1872,7 +1872,7 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "probe_id",
         F.timestamp_seconds("sec").alias("ts"),
-        F.array(*[F.lit(0.0)] * 4).cast("array<float>").alias("vec"),
+        F.array_repeat(F.lit(0.0), 64).cast("array<float>").alias("vec"),
     ).coalesce(1).write.parquet(f"{src}/sentinel")
     stream = spark.readStream.schema(
         "probe_id long, ts timestamp, vec array<float>"
@@ -1938,7 +1938,7 @@ def q_stream_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "probe_id",
         F.timestamp_seconds("sec").alias("ts"),
-        F.array(*[F.lit(0.0)] * 4).cast("array<float>").alias("vec"),
+        F.array_repeat(F.lit(0.0), 64).cast("array<float>").alias("vec"),
     ).coalesce(1).write.parquet(f"{src}/sentinel")
     stream = spark.readStream.schema(
         "probe_id long, ts timestamp, vec array<float>"
