@@ -1967,7 +1967,10 @@ def q_stream_bloom_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-state Bloom windowed dedup on the REAL stream: 4
     independent filters per pane keyed by the portable key hash
     (capacity x4, bounded state per shard).  Sized FP-free here, so the
-    exact first-occurrence oracle applies — per-shard FP determinism is
+    exact first-occurrence oracle applies — measured margin at the
+    driver's sf0.01: max 27 distinct keys per (pane, shard) against
+    2^18 bits, per-probe FP ~(4*27/2^18)^4 ~ 3e-14 (still ~3e-10 at 10x
+    the keys); per-shard FP determinism under deliberate saturation is
     pinned by tests/test_bloom_dedup.py with a tiny filter."""
     import tempfile
     import uuid
@@ -3320,7 +3323,8 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": """
             WITH e AS (
               SELECT event_type AS grp,
-                     cast(nullif(regexp_extract(props, '"k": ([0-9]+)', 1),
+                     cast(nullif(regexp_extract(props,
+                                 '"k":\\s*(-?[0-9]+)', 1),
                                  '') AS BIGINT) AS v
               FROM events
             )

@@ -37,6 +37,17 @@ class KelosConfig:
     # 'epanechnikov' (compact-support extension, core.KERNELS).
     kernel: str = "gaussian"
 
+    def __post_init__(self):
+        # fail fast on the driver — a typo'd kernel name would otherwise
+        # surface as an opaque KeyError inside a pandas-UDF executor.
+        # (Literal tuple mirrors core.KERNELS; kept import-free so
+        # config stays a leaf module.)
+        if self.kernel not in ("gaussian", "epanechnikov"):
+            raise ValueError(
+                f"unknown kernel {self.kernel!r}; "
+                "expected 'gaussian' or 'epanechnikov' (core.KERNELS)"
+            )
+
     @property
     def window_seconds(self) -> int:
         return self.pane_seconds * self.panes_per_window

@@ -627,14 +627,26 @@ def span_clean_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     span_tokens: int = 8,
+    verdicts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document result of dropping every span whose first occurrence
     is elsewhere in the corpus (C4's dedup transform), summarized as
     (doc_id, n_spans, n_kept, clean_md5) where clean_md5 fingerprints
     the surviving spans re-joined in document order — the cheap
     cross-engine contract for the rewritten text (emitting the full
-    cleaned text is the same plan minus the md5)."""
-    v = span_dedup_verdicts(df, id_col, text_col, span_tokens, with_span=True)
+    cleaned text is the same plan minus the md5).
+
+    ``verdicts``: a precomputed ``span_dedup_verdicts(with_span=True)``
+    result (needs doc_id/span_idx/span/is_dup) to consume instead of
+    re-running the span pipeline — pass it when materializing several
+    outputs from one verdict table (cf. run_job span-dedup mode)."""
+    v = (
+        verdicts
+        if verdicts is not None
+        else span_dedup_verdicts(
+            df, id_col, text_col, span_tokens, with_span=True
+        )
+    )
     kept_struct = F.when(
         ~F.col("is_dup"), F.struct("span_idx", "span")
     )  # collect_list drops the NULLs for dup spans

@@ -20,12 +20,57 @@ from __future__ import annotations
 
 from pyarrow import fs as pafs
 
+# Hadoop URI schemes -> the scheme pyarrow's FileSystem.from_uri
+# understands.  s3a/s3n are the Hadoop S3 connectors (same object
+# store); abfss is TLS abfs.  hdfs:// passes through (needs libhdfs in
+# the Python env — documented deployment dependency; a cataloged
+# Iceberg deployment replaces these directory ops entirely).
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3", "abfss": "abfs"}
+
 
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:
     """(filesystem, fs-local path) for a URI or driver-local path."""
     if "://" not in path:
         return pafs.LocalFileSystem(), path
-    return pafs.FileSystem.from_uri(path)
+    scheme, rest = path.split("://", 1)
+    scheme = _SCHEME_ALIASES.get(scheme.lower(), scheme)
+    try:
+        return pafs.FileSystem.from_uri(f"{scheme}://{rest}")
+    except Exception as e:  # noqa: BLE001 — re-raise with deployment hint
+        raise RuntimeError(
+            f"pyarrow cannot resolve filesystem for {path!r} "
+            f"(scheme {scheme!r}): {e}.  Install the pyarrow filesystem "
+            "dependency for this scheme (libhdfs for hdfs://, s3/azure "
+            "support is built in), or use the Iceberg catalog path where "
+            "these directory operations become MERGE/expire-snapshots."
+        ) from e
+
+
+def table_exists(spark, path: str) -> bool:
+    """Existence probe through Spark's OWN filesystem stack (public
+    API: a schema-only ``spark.read`` classified by error condition) —
+    works on every URI scheme and credential setup the Spark job itself
+    can write to, unlike a driver-local pyarrow probe.  Semantics:
+    PATH_NOT_FOUND -> False; an existing-but-empty directory
+    (UNABLE_TO_INFER_SCHEMA) -> True; any OTHER error (permission,
+    corrupt footer, transient I/O) RAISES — the caller must never treat
+    a read failure as 'table absent'."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except AnalysisException as e:
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        )
+        if cond == "PATH_NOT_FOUND":
+            return False
+        if cond == "UNABLE_TO_INFER_SCHEMA":
+            return True
+        raise
 
 
 def path_exists(path: str) -> bool:

@@ -29,19 +29,56 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # follows the source's file/trigger split, and the stateful
         # stages repartition on their keys anyway
         return df
-    # Estimate scan parallelism from the input-file count (public API;
-    # no .rdd probe): each file yields >= 1 scan partition, so a plan
-    # backed by >= target files is already wide enough.  Plans with no
-    # file lineage (post-shuffle, in-memory) already carry
-    # spark.sql.shuffle.partitions tasks — leave those alone.  At real
-    # scale any corpus scan has far more files than cores and the guard
-    # is a no-op; only genuinely tiny scans pay the round-robin.
+    # Estimate scan parallelism without the .rdd probe: each input file
+    # yields >= 1 scan partition, so >= target files is already wide
+    # enough; when only a FEW files back the plan, stat their sizes
+    # (public pyarrow FS — at most `target` stats) and count the
+    # maxPartitionBytes splits Spark will actually plan, so one large
+    # splittable file is not mistaken for one partition (repartitioning
+    # it would REDUCE parallelism).  Plans with no file lineage
+    # (post-shuffle, in-memory) already carry shuffle.partitions tasks —
+    # left alone.  At real scale any corpus scan has far more files
+    # than cores and the guard is a no-op.
     files = df.inputFiles()
     if not files:
         return df
     if len(files) >= target:
         return df
+    if _estimated_split_count(spark, files) >= target:
+        return df
     return df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size conf strings ('134217728b', '128m',
+    '1g', plain digits)."""
+    s = str(v).strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    for suffix in ("kb", "mb", "gb", "tb"):
+        if s.endswith(suffix):
+            return int(float(s[:-2]) * units[suffix[0]])
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def _estimated_split_count(spark, files: list[str]) -> int:
+    """Sum of per-file maxPartitionBytes splits; falls back to the file
+    count when a filesystem cannot be stat'ed."""
+    from kelos_on_kafka_spark.plans import fsutil
+
+    try:
+        mpb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        total = 0
+        for f in files:
+            fs, p = fsutil.resolve(f.removeprefix("file:"))
+            size = fs.get_file_info(p).size or 0
+            total += max(1, -(-size // mpb))
+        return total
+    except Exception:  # noqa: BLE001 — estimation only, never fail the plan
+        return len(files)
 
 
 def zorder_key(cols: list[str], bits: int = 16):
@@ -53,7 +90,14 @@ def zorder_key(cols: list[str], bits: int = 16):
     OPTIMIZE ZORDER / Iceberg's sort orders apply; here as a pure
     Catalyst expression).  Callers quantize non-integer columns first
     (e.g. ``F.unix_micros(ts) / bucket``); ``bits * len(cols)`` must
-    stay <= 63."""
+    stay <= 63.
+
+    PRECONDITION: every value must fit in ``bits`` bits (0 <= v <
+    2^bits) — higher bits are silently ignored by the interleave, which
+    would destroy the clustering without an error.  ``write_zordered``
+    validates this with one cheap max() pass before writing (it is a
+    once-per-snapshot OPTIMIZE-style op); quantize wide domains down
+    (``F.col(c) / bucket``) rather than raising ``bits``."""
     if bits * len(cols) > 63:
         raise ValueError(
             f"bits*len(cols) = {bits * len(cols)} exceeds a long (63)"
@@ -86,9 +130,24 @@ def write_zordered(
     min/max stats on all ``cols`` — scans filtering on any of them
     skip whole row groups/files.  One extra pass over the input (the
     range partitioner samples the key), paid once per snapshot like any
-    OPTIMIZE/CLUSTER BY."""
+    OPTIMIZE/CLUSTER BY.  Validates the zorder_key domain precondition
+    (every value in [0, 2^bits)) with one max/min pass first — silent
+    bit truncation would keep the write 'successful' while destroying
+    the skipping property."""
     from pyspark.sql import functions as F
 
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is not None and (int(lo) < 0 or int(hi) >= (1 << bits)):
+            raise ValueError(
+                f"zorder column {c!r} spans [{lo}, {hi}] which does not "
+                f"fit in {bits} bits ([0, {1 << bits})): quantize it "
+                "down (e.g. value div bucket) before z-ordering"
+            )
     spark = df.sparkSession
     n = n_files or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")

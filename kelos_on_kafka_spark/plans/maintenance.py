@@ -36,13 +36,15 @@ def upsert_partitioned(
     (an update may not move a row across partitions — same rule Hive/
     Iceberg MERGE with partition pruning relies on)."""
     spark = updates.sparkSession
-    # Existence is checked through the filesystem (fsutil.path_exists:
-    # NotFound -> False, I/O / permission errors RAISE), not by catching
-    # the read error: a transient read failure (corrupt footer,
-    # permission) on an EXISTING table must propagate, never fall
-    # through to the first-write full overwrite (that path would
-    # replace the table with just this updates batch).
-    if not fsutil.path_exists(path):  # first write: no table yet
+    # Existence is probed through Spark's own filesystem stack
+    # (fsutil.table_exists: PATH_NOT_FOUND -> False, empty dir -> True,
+    # any OTHER error RAISES) so it works on every scheme/credential
+    # setup the job can write to (s3a://, abfss://, hdfs://) — and a
+    # transient read failure (corrupt footer, permission) on an
+    # EXISTING table propagates, never falling through to the
+    # first-write full overwrite (that path would replace the table
+    # with just this updates batch).
+    if not fsutil.table_exists(spark, path):  # first write: no table yet
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(
             path
         )

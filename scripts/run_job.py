@@ -181,16 +181,20 @@ def main() -> None:
             docs = raw.select(
                 F.abs(F.xxhash64("url")).alias("doc_id"), "text"
             )
-        span_dedup_verdicts(docs, span_tokens=args.span_tokens).write.mode(
-            "overwrite"
-        ).parquet(f"{args.output}/span_verdicts")
-        span_clean_docs(docs, span_tokens=args.span_tokens).write.mode(
-            "overwrite"
-        ).parquet(f"{args.output}/doc_summary")
+        # one span pipeline run feeds every output: the verdict table
+        # (with span text) is persisted, the verdicts file drops the
+        # text, and the summary + rewritten corpus derive from the same
+        # cached verdicts instead of re-tokenizing the corpus per output
+        v = span_dedup_verdicts(
+            docs, span_tokens=args.span_tokens, with_span=True
+        ).persist()
+        v.drop("span").write.mode("overwrite").parquet(
+            f"{args.output}/span_verdicts"
+        )
+        span_clean_docs(
+            docs, span_tokens=args.span_tokens, verdicts=v
+        ).write.mode("overwrite").parquet(f"{args.output}/doc_summary")
         if args.emit_clean:
-            v = span_dedup_verdicts(
-                docs, span_tokens=args.span_tokens, with_span=True
-            )
             kept = F.when(~F.col("is_dup"), F.struct("span_idx", "span"))
             (
                 v.groupBy("doc_id")
@@ -206,6 +210,7 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(f"{args.output}/clean")
             )
+        v.unpersist()
         spark.stop()
         return
 

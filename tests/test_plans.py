@@ -105,3 +105,44 @@ def test_contamination_broadcasts_probe_side(spark):
     # aggregation produces both counts; no shuffle carries strings
     plan = _plan(entry_mod.q_contamination(spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+
+
+def test_kelos_config_rejects_unknown_kernel():
+    import pytest as _pytest
+
+    from kelos_on_kafka_spark.config import KelosConfig
+
+    with _pytest.raises(ValueError, match="unknown kernel"):
+        KelosConfig(kernel="epan")
+    assert KelosConfig(kernel="epanechnikov").kernel == "epanechnikov"
+
+
+def test_fan_out_counts_splits_of_large_files(spark, tmp_path):
+    """A single large SPLITTABLE file is not one partition: with a
+    small maxPartitionBytes the split estimate exceeds the target and
+    fan_out must NOT repartition (that would reduce parallelism)."""
+    from kelos_on_kafka_spark.plans import layout
+
+    p = str(tmp_path / "wide")
+    spark.range(200_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1).write.parquet(p)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    try:
+        df = spark.read.parquet(p)
+        out = layout.fan_out(df, min_partitions=4)
+        assert out is df  # estimated splits >> 4 -> untouched plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_fsutil_resolve_hint_and_local():
+    import pytest as _pytest
+
+    from kelos_on_kafka_spark.plans import fsutil
+
+    fs, p = fsutil.resolve("/tmp/somewhere")
+    assert p == "/tmp/somewhere"
+    with _pytest.raises(RuntimeError, match="pyarrow cannot resolve"):
+        fsutil.resolve("bogus-scheme://x/y")

@@ -74,3 +74,17 @@ def test_span_dedup_repartition_stable(docs):
         )
     )
     assert base == shuf
+
+
+def test_span_clean_docs_precomputed_verdicts_path_agrees(spark, docs):
+    recompute = sorted(
+        map(tuple, dedup.span_clean_docs(docs, span_tokens=4).collect())
+    )
+    v = dedup.span_dedup_verdicts(docs, span_tokens=4, with_span=True)
+    fed = sorted(
+        map(
+            tuple,
+            dedup.span_clean_docs(docs, span_tokens=4, verdicts=v).collect(),
+        )
+    )
+    assert fed == recompute

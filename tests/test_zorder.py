@@ -87,3 +87,15 @@ def test_write_zordered_tightens_stats_on_both_dims(spark, tmp_path):
         map(tuple, spark.read.parquet(zod).select("i", "x", "y").collect())
     )
     assert got == sorted(rows)
+
+
+def test_write_zordered_rejects_out_of_range_values(spark, tmp_path):
+    """Silent bit truncation would destroy the clustering without an
+    error — the write validates the domain precondition first."""
+    df = spark.createDataFrame(
+        [(i, i * 1000, i) for i in range(100)], "i long, x long, y long"
+    )
+    with pytest.raises(ValueError, match="does not fit in 8 bits"):
+        layout.write_zordered(
+            df, str(tmp_path / "z"), ["x", "y"], bits=8
+        )
