@@ -2046,6 +2046,56 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape: order revenue (sum extendedprice*(1-discount),
+    computed exactly in DECIMAL on both engines) over an orders ⋈
+    lineitem join, top-10 by revenue with a deterministic tiebreak —
+    the classic join + agg + top-n SQL surface."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "o_orderpriority", "revenue", "n_items")
+    )
+
+
+def q_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session-id enrichment (windowing.assign_session_ids):
+    every event tagged with its user's 1-based session index and the
+    session start epoch — the join-key form of session_windows."""
+    from kelos_on_kafka_spark.operators.windowing import assign_session_ids
+
+    return assign_session_ids(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_cols=["user_id"],
+        gap_seconds=1800,
+        id_col="event_id",
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-snapshot delta (plans/maintenance.snapshot_diff):
     added/removed/changed/unchanged per doc between two deterministic
@@ -2248,6 +2298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "norm_dedup": q_norm_dedup,
         "cube_events": q_cube_events,
         "snapshot_diff": q_snapshot_diff,
+        "top_orders": q_top_orders,
+        "session_assign": q_session_assign,
         "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
@@ -3382,6 +3434,50 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_value
             FROM e GROUP BY CUBE (day_id, event_type)
+        """,
+        "top_orders": """
+            WITH rev AS (
+              SELECT o.o_orderkey, o.o_orderpriority,
+                     cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                              * (cast(1 AS DECIMAL(18,2))
+                                 - cast(l.l_discount AS DECIMAL(18,2))))
+                          AS DOUBLE) AS revenue,
+                     count(*) AS n_items
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              GROUP BY o.o_orderkey, o.o_orderpriority
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       ORDER BY revenue DESC, o_orderkey) AS rank
+              FROM rev
+            )
+            SELECT rank, o_orderkey, o_orderpriority, revenue, n_items
+            FROM r WHERE rank <= 10
+        """,
+        "session_assign": """
+            WITH ordered AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ) AS prev_us
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, ts_us,
+                     CASE WHEN prev_us IS NULL
+                               OR ts_us - prev_us >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ), seq AS (
+              SELECT user_id, event_id, ts_us,
+                     sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, event_id, ts_us, session_seq,
+                   min(ts_us) OVER (PARTITION BY user_id, session_seq)
+                     AS session_start_us
+            FROM seq
         """,
         "snapshot_diff": """
             WITH old AS (

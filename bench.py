@@ -214,6 +214,8 @@ def main() -> None:
         "norm_dedup",
         "cube_events",
         "snapshot_diff",
+        "top_orders",
+        "session_assign",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -49,6 +49,7 @@ __all__ = [
     "snapshot_diff",
     "zorder_key",
     "write_zordered",
+    "assign_session_ids",
     "url_host",
     "registered_domain",
     "domain_stats",
@@ -100,6 +101,7 @@ _LAZY = {
     "snapshot_diff": ("kelos_on_kafka_spark.plans.maintenance", None),
     "zorder_key": ("kelos_on_kafka_spark.plans.layout", None),
     "write_zordered": ("kelos_on_kafka_spark.plans.layout", None),
+    "assign_session_ids": ("kelos_on_kafka_spark.operators.windowing", None),
     "url_host": ("kelos_on_kafka_spark.operators.webtext", None),
     "registered_domain": ("kelos_on_kafka_spark.operators.webtext", None),
     "domain_stats": ("kelos_on_kafka_spark.operators.webtext", None),

@@ -11,6 +11,7 @@ reproducible in any SQL engine (the DuckDB oracles in
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def epoch_us(ts_col: str) -> Column:
@@ -78,4 +79,53 @@ def session_windows(
     )
     return grouped.select(
         *key_cols, "session_start_us", "session_last_us", "n_events"
+    )
+
+
+def assign_session_ids(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap_seconds: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-EVENT session assignment — the enrichment form of
+    ``session_windows``: every event gets its key's 1-based session
+    index and the session's start epoch, so downstream joins can
+    attribute any event to its session without re-deriving boundaries.
+    Returns (keys..., <id_col>, ts_us, session_seq, session_start_us).
+
+    Boundary convention matches ``session_windows``' oracle: a gap of
+    >= ``gap_seconds`` starts a new session.  One shuffle on the keys;
+    two window passes over the same per-key ordering (lag -> running
+    sum) plus a per-(key, seq) min."""
+    gap_us = gap_seconds * 1_000_000
+    w_order = Window.partitionBy(*key_cols).orderBy(
+        F.col("__ts_us").asc(), F.col(id_col).asc()
+    )
+    base = df.select(
+        *key_cols, F.col(id_col), epoch_us(ts_col).alias("__ts_us")
+    )
+    with_prev = base.withColumn("__prev", F.lag("__ts_us").over(w_order))
+    flagged = with_prev.withColumn(
+        "__new",
+        F.when(
+            F.col("__prev").isNull()
+            | (F.col("__ts_us") - F.col("__prev") >= gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    seq = flagged.withColumn(
+        "session_seq",
+        F.sum("__new")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    w_sess = Window.partitionBy(*key_cols, "session_seq")
+    return seq.select(
+        *key_cols,
+        F.col(id_col),
+        F.col("__ts_us").alias("ts_us"),
+        "session_seq",
+        F.min("__ts_us").over(w_sess).alias("session_start_us"),
     )

@@ -64,6 +64,8 @@ def test_relational_queries_have_no_python_stage(spark):
         "norm_dedup",
         "cube_events",
         "snapshot_diff",
+        "top_orders",
+        "session_assign",
         "hash_split",
         "stratified_cap",
         "det_sample",
