@@ -3,6 +3,8 @@ pandas merge_asof, and sequence-pattern detection goldens."""
 
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from kelos_on_kafka_spark.operators import temporal
@@ -275,3 +277,70 @@ def test_funnel_steps_repartition_stable_and_validates(spark):
     assert a == b and len(a) == 9
     with pytest.raises(ValueError, match="at least 2"):
         funnel_steps(ev, "user_id", "ts", "event_type", ["A"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 5),            # user
+            st.integers(0, 400),          # sec offset
+            st.sampled_from("ABCD"),      # type
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    within=st.sampled_from([None, 50_000_000, 200_000_000]),
+)
+def test_funnel_steps_property_vs_python_reference(spark, events, within):
+    """Leftmost-greedy funnel == an independent Python reference on
+    random event streams (any users, any orderings, with/without a
+    deadline)."""
+    from kelos_on_kafka_spark.operators.temporal import funnel_steps
+
+    rows = [
+        (i, u, 1_700_000_000 + s, t) for i, (u, s, t) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "event_type",
+    )
+    got = {
+        r.user_id: (r.s0_us, r.s1_us, r.s2_us, r.matched, r.duration_us)
+        for r in funnel_steps(
+            ev, "user_id", "ts", "event_type", ["A", "B", "C"],
+            within_us=within,
+        ).collect()
+    }
+    # pure-python greedy reference
+    by_user = {}
+    for _i, u, sec, t in rows:
+        by_user.setdefault(u, []).append((sec * 1_000_000, t))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        s = [None, None, None]
+        steps = ["A", "B", "C"]
+        for ts, t in evs:
+            for i in range(3):
+                if s[i] is None:
+                    if t == steps[i] and (i == 0 or (s[i - 1] is not None and ts > s[i - 1])):
+                        s[i] = ts
+                    break
+        if s[0] is None:
+            continue
+        matched = s[2] is not None and (
+            within is None or s[2] - s[0] <= within
+        )
+        want[u] = (
+            s[0],
+            s[1] if s[1] is not None else -1,
+            s[2] if s[2] is not None else -1,
+            matched,
+            (s[2] - s[0]) if matched else -1,
+        )
+    assert got == want
