@@ -1625,6 +1625,68 @@ def _stopword_stats_sql() -> str:
     """
 
 
+def _quality_verdicts_sql() -> str:
+    """Composed Gopher-style filter stack oracle — assembled from the
+    SAME pieces the individual oracles use (quality components,
+    repetition CTEs, generated stopword hits)."""
+    hits = " + ".join(
+        f"(len(string_split(p, ' {m} ')) - 1)"
+        for m in textstats.STOPWORDS_EN
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             concat(' ', lower(text), ' ') AS p,
+             trim(text) AS tt,
+             regexp_split_to_array(trim(text), '\\s+') AS t,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CASE WHEN tt = '' THEN 0 ELSE len(t) END AS nt,
+             nc, nd, ({hits}) AS hits
+      FROM base
+    ), idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+      FROM base
+    ), sh AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM idx WHERE array_to_string(t[i:i+2], ' ') != ''
+    ), grams AS (
+      SELECT doc_id, count(*) AS n_ngrams,
+             count(DISTINCT shingle) AS n_distinct_ngrams
+      FROM sh GROUP BY 1
+    ), modes AS (
+      SELECT doc_id, max(c) AS top_tok_n FROM (
+        SELECT doc_id, tok, count(*) AS c FROM (
+          SELECT doc_id, unnest(t) AS tok FROM base
+        ) WHERE tok != '' GROUP BY 1, 2
+      ) GROUP BY 1
+    ), v AS (
+      SELECT q.doc_id,
+             (q.nt < 5) AS too_short,
+             (10 * q.nd > 3 * q.nc) AS digit_heavy,
+             ((CASE WHEN q.nt > 0
+                    THEN floor((100 * (q.nc - (q.nt - 1))) / q.nt)
+                    ELSE 0 END) > 1500) AS long_tokens,
+             (5 * coalesce(m.top_tok_n, 0) > q.nt
+              OR 2 * coalesce(g.n_distinct_ngrams, 0)
+                 < coalesce(g.n_ngrams, 0)) AS repetitive,
+             (50 * q.hits < q.nt) AS low_stopword
+      FROM q
+      LEFT JOIN grams g ON g.doc_id = q.doc_id
+      LEFT JOIN modes m ON m.doc_id = q.doc_id
+    )
+    SELECT doc_id, too_short, digit_heavy, long_tokens, repetitive,
+           low_stopword,
+           (NOT too_short AND NOT digit_heavy AND NOT long_tokens
+            AND NOT repetitive AND NOT low_stopword) AS keep
+    FROM v
+    """
+
+
 def _lang_guess_sql() -> str:
     """Marker-word language guess, generated from the SAME marker table
     the Spark operator uses (textstats.LID_MARKERS).  Occurrence counts
@@ -2046,6 +2108,14 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style filter stack (textstats.filter_verdicts):
+    one row per doc with every rule boolean and the final keep — the
+    quality-filter analogue of dedup_decisions; single projection pass,
+    zero shuffles."""
+    return textstats.filter_verdicts(_t(spark, sf_dir, "documents"))
+
+
 def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shape: order revenue (sum extendedprice*(1-discount),
     computed exactly in DECIMAL on both engines) over an orders ⋈
@@ -2300,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "top_orders": q_top_orders,
         "session_assign": q_session_assign,
+        "quality_verdicts": q_quality_verdicts,
         "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
@@ -3435,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_value
             FROM e GROUP BY CUBE (day_id, event_type)
         """,
+        "quality_verdicts": _quality_verdicts_sql(),
         "top_orders": """
             WITH rev AS (
               SELECT o.o_orderkey, o.o_orderpriority,

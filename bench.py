@@ -216,6 +216,7 @@ def main() -> None:
         "snapshot_diff",
         "top_orders",
         "session_assign",
+        "quality_verdicts",
     ]
     total = kelos_secs
     for name in bench_queries:

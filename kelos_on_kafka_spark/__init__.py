@@ -41,6 +41,7 @@ __all__ = [
     "funnel_steps",
     "normalize_text",
     "normalized_dup_groups",
+    "filter_verdicts",
     "pq_topk",
     "train_pq_codebooks",
     "stream_bloom_dedup",
@@ -93,6 +94,7 @@ _LAZY = {
     "funnel_steps": ("kelos_on_kafka_spark.operators.temporal", None),
     "normalize_text": ("kelos_on_kafka_spark.operators.textstats", None),
     "normalized_dup_groups": ("kelos_on_kafka_spark.operators.textstats", None),
+    "filter_verdicts": ("kelos_on_kafka_spark.operators.textstats", None),
     "pq_topk": ("kelos_on_kafka_spark.operators.similarity", None),
     "train_pq_codebooks": ("kelos_on_kafka_spark.operators.similarity", None),
     "stream_bloom_dedup": ("kelos_on_kafka_spark.streaming.bloom_dedup", None),

@@ -229,6 +229,35 @@ def repetition_stats(
     parallel: partitions never exchange."""
     from kelos_on_kafka_spark.plans.layout import fan_out
 
+    cols = _repetition_int_cols(text_col, ngram)
+    out = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        *[cols[n].alias(n) for n in (
+            "n_tok",
+            "n_distinct_tok",
+            "top_tok_n",
+            "n_ngrams",
+            "n_distinct_ngrams",
+        )],
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct_tok",
+        "top_tok_n",
+        "n_ngrams",
+        "n_distinct_ngrams",
+        (
+            (5 * F.col("top_tok_n") > F.col("n_tok"))
+            | (2 * F.col("n_distinct_ngrams") < F.col("n_ngrams"))
+        ).alias("repetitive"),
+    )
+
+
+def _repetition_int_cols(text_col: str, ngram: int) -> dict[str, Column]:
+    """The five integer repetition signals as Columns (shared by
+    repetition_stats and the composed filter_verdicts — expression
+    reuse composes for free; a join would cost a shuffle)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = _shingles_arr(text_col, ngram)
     # mode count = longest equal-run in the sorted token array
@@ -254,31 +283,62 @@ def repetition_stats(
         ),
         lambda acc: acc["best"],
     )
-    out = fan_out(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
-        .otherwise(F.size(toks))
-        .cast("long")
-        .alias("n_tok"),
-        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+    empty = F.trim(F.col(text_col)) == ""
+    return {
+        "n_tok": F.when(empty, F.lit(0)).otherwise(F.size(toks)).cast("long"),
+        "n_distinct_tok": F.when(empty, F.lit(0))
         .otherwise(F.size(F.array_distinct(toks)))
-        .cast("long")
-        .alias("n_distinct_tok"),
-        run.cast("long").alias("top_tok_n"),
-        F.size(grams).cast("long").alias("n_ngrams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_ngrams"),
+        .cast("long"),
+        "top_tok_n": run.cast("long"),
+        "n_ngrams": F.size(grams).cast("long"),
+        "n_distinct_ngrams": F.size(F.array_distinct(grams)).cast("long"),
+    }
+
+
+def filter_verdicts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The composed Gopher-style filter stack — one row per document
+    with every rule's boolean and the final ``keep``: too_short,
+    digit_heavy, long_tokens (quality_flags' components), repetitive
+    (repetition_stats' predicate), low_stopword (< 2% stopword tokens —
+    the machine-generated/garbage signal).  This is the verdict table a
+    pretraining pipeline materializes once and filters by (the
+    quality-filter analogue of dedup_decisions).
+
+    ONE projection pass, zero shuffles: every signal is an expression
+    over the same row (composition by Column reuse, not joins)."""
+    nt = n_tokens(text_col)
+    nc = n_chars(text_col)
+    nd = n_digit_chars(text_col)
+    mean_tok_x100 = F.when(
+        nt > 0, F.floor((100 * (nc - (nt - 1))) / nt)
+    ).otherwise(F.lit(0)).cast("long")
+    rep = _repetition_int_cols(text_col, 3)
+    hits = stopword_hits(text_col)
+    too_short = nt < F.lit(5)
+    digit_heavy = 10 * nd > 3 * nc
+    long_tokens = mean_tok_x100 > 1500
+    repetitive = (5 * rep["top_tok_n"] > rep["n_tok"]) | (
+        2 * rep["n_distinct_ngrams"] < rep["n_ngrams"]
     )
-    return out.select(
-        "doc_id",
-        "n_tok",
-        "n_distinct_tok",
-        "top_tok_n",
-        "n_ngrams",
-        "n_distinct_ngrams",
+    low_stopword = 50 * hits < nt
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    return fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        too_short.alias("too_short"),
+        digit_heavy.alias("digit_heavy"),
+        long_tokens.alias("long_tokens"),
+        repetitive.alias("repetitive"),
+        low_stopword.alias("low_stopword"),
         (
-            (5 * F.col("top_tok_n") > F.col("n_tok"))
-            | (2 * F.col("n_distinct_ngrams") < F.col("n_ngrams"))
-        ).alias("repetitive"),
+            ~too_short
+            & ~digit_heavy
+            & ~long_tokens
+            & ~repetitive
+            & ~low_stopword
+        ).alias("keep"),
     )
 
 

@@ -66,6 +66,7 @@ def test_relational_queries_have_no_python_stage(spark):
         "snapshot_diff",
         "top_orders",
         "session_assign",
+        "quality_verdicts",
         "hash_split",
         "stratified_cap",
         "det_sample",
