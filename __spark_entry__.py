@@ -2143,11 +2143,15 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+    # global top-10 via TakeOrdered (map-side partial top-n, no
+    # single-task global window sort); rank assigned over the 10
+    # survivors only
+    top = rev.orderBy(
+        F.col("revenue").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("rank", "o_orderkey", "o_orderpriority", "revenue", "n_items")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "o_orderkey", "o_orderpriority", "revenue", "n_items"
     )
 
 
