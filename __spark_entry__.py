@@ -2205,6 +2205,71 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows on the REAL stream (purchases hold a
+    session open 1h, everything else 30min): Spark's session_window
+    with a Column gap under a watermark — sessions emit exactly once on
+    close; the sentinel advances the final watermark past every real
+    session.  Same oracle as the batch session_dynamic_gap."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming import relational
+
+    src = tempfile.mkdtemp(prefix="sdyn_src_")
+    (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data")
+    )
+    row = (
+        _t(spark, sf_dir, "events")
+        .agg(F.max(windowing.epoch_us("ts")).alias("hi"))
+        .first()
+    )
+    sentinel_us = int(row["hi"]) + 10 * 3600 * 1_000_000
+    spark.createDataFrame(
+        [(999_999_999, 999_999, "view", sentinel_us)],
+        "event_id long, user_id bigint, event_type string, us long",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros("us").alias("ts"),
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "event_id long, user_id bigint, event_type string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("30 minutes"))
+    out = relational.stream_session_windows(
+        stream, ts_col="ts", key_col="user_id", gap=gap
+    )
+    name = f"sdyn_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("user_id") != 999_999).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def q_stream_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic streaming downsampling (streaming/sample_stream.py):
     at most 20 events per 12h pane by portable-hash priority, O(n)
@@ -2380,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_knn_ivf": q_stream_knn_ivf,
         "stream_bloom_sharded": q_stream_bloom_sharded,
         "stream_funnel": q_stream_funnel,
+        "stream_session_dynamic": q_stream_session_dynamic,
         "stream_sample": q_stream_sample,
         "kelos_topn_epan": q_kelos_topn_epan,
         # --- KELOS debug surface (rows-only by design; keep gated) ---
@@ -3664,6 +3730,33 @@ def oracle_sql() -> dict[str, str]:
                      * 1000000 AS window_start_us,
                    probe_id, rn AS rank, neighbor_id
             FROM r WHERE rn <= 5
+        """,
+        "stream_session_dynamic": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 3600000000 ELSE 1800000000 END AS gap_us
+              FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts_us, gap_us,
+                     max(ts_us + gap_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_end
+              FROM e
+            ), isl AS (
+              SELECT user_id, ts_us, gap_us,
+                     sum(CASE WHEN prev_end IS NULL
+                              OR ts_us > prev_end THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS sid
+              FROM m
+            )
+            SELECT user_id,
+                   min(ts_us) AS session_start_us,
+                   max(ts_us + gap_us) AS session_end_us,
+                   count(*) AS n_events
+            FROM isl GROUP BY user_id, sid
         """,
         "stream_sample": """
             WITH e AS (

@@ -62,11 +62,14 @@ def stream_session_windows(
     events: DataFrame,
     ts_col: str = "ts",
     key_col: str = "user_id",
-    gap: str = "30 seconds",
+    gap="30 seconds",
     watermark: str = "0 seconds",
 ) -> DataFrame:
     """Per-key session windows with an inactivity gap; sessions emit once
-    closed (watermark-driven)."""
+    closed (watermark-driven).  ``gap`` may be a literal duration string
+    or a Column expression for DYNAMIC per-event gaps (e.g. purchases
+    hold a session open longer) — Spark's session_window accepts both,
+    batch and streaming."""
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(
