@@ -1629,6 +1629,44 @@ def _stopword_stats_sql() -> str:
     """
 
 
+def _image_phash_sql() -> str:
+    """aHash oracle over the deterministic pixel stub: 64 'pixel'
+    bytes = sha256(payload) || sha256(hex(sha256(payload))), bit i set
+    iff 64*pixel_i >= sum(pixels) (integer-exact: the float mean is
+    sum/64, a power-of-two division, so the comparison is equivalent),
+    two's-complement via a negative bit-63 term."""
+    byte_exprs = []
+    for i in range(64):
+        src, off = ("h1", i) if i < 32 else ("h2", i - 32)
+        byte_exprs.append(
+            f"cast(concat('0x', substr({src}, {2 * off + 1}, 2)) AS BIGINT)"
+        )
+    cols = ",\n             ".join(
+        f"{e} AS b{i}" for i, e in enumerate(byte_exprs)
+    )
+    total = " + ".join(f"b{i}" for i in range(64))
+    terms = " + ".join(
+        f"(CASE WHEN 64 * b{i} >= s THEN "
+        + (f"cast({1 << i} AS BIGINT)" if i < 63 else "cast(-9223372036854775807 - 1 AS BIGINT)")
+        + " ELSE cast(0 AS BIGINT) END)"
+        for i in range(64)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id AS asset_id, sha256(text) AS h1,
+             sha256(sha256(text)) AS h2
+      FROM documents
+    ), b AS (
+      SELECT asset_id,
+             {cols}
+      FROM d
+    ), sb AS (
+      SELECT *, ({total}) AS s FROM b
+    )
+    SELECT asset_id, ({terms}) AS phash FROM sb
+    """
+
+
 def _quality_verdicts_sql() -> str:
     """Composed Gopher-style filter stack oracle — assembled from the
     SAME pieces the individual oracles use (quality components,
@@ -2112,6 +2150,22 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average) hash per media asset
+    (multimodal.image_phash over the deterministic pixel stub; inject a
+    Pillow-backed pixel_decoder in deployment).  The oracle reproduces
+    the stub's chained-sha256 pixels and the integer-exact aHash in
+    SQL; pair with dedup.hamming_near_dup_pairs for perceptual
+    near-dup detection of re-encoded copies."""
+    from kelos_on_kafka_spark.operators.multimodal import image_phash
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return image_phash(media)
+
+
 def q_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Gopher-style filter stack (textstats.filter_verdicts):
     one row per doc with every rule boolean and the final keep — the
@@ -2444,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "session_assign": q_session_assign,
         "quality_verdicts": q_quality_verdicts,
+        "image_phash": q_image_phash,
         "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
         "stream_knn_ivf": q_stream_knn_ivf,
@@ -3581,6 +3636,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY CUBE (day_id, event_type)
         """,
         "quality_verdicts": _quality_verdicts_sql(),
+        "image_phash": _image_phash_sql(),
         "top_orders": """
             WITH rev AS (
               SELECT o.o_orderkey, o.o_orderpriority,

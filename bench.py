@@ -217,6 +217,7 @@ def main() -> None:
         "top_orders",
         "session_assign",
         "quality_verdicts",
+        "image_phash",
     ]
     total = kelos_secs
     for name in bench_queries:

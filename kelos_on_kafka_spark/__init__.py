@@ -67,6 +67,9 @@ __all__ = [
     "parse_warc_segments",
     "warc_to_pages",
     "json_long",
+    "image_phash",
+    "ahash64",
+    "hamming_near_dup_pairs",
 ]
 __version__ = "0.4.0"
 
@@ -120,6 +123,9 @@ _LAZY = {
     "parse_warc_segments": ("kelos_on_kafka_spark.sources.warc", None),
     "warc_to_pages": ("kelos_on_kafka_spark.sources.warc", None),
     "json_long": ("kelos_on_kafka_spark.operators.semistruct", None),
+    "image_phash": ("kelos_on_kafka_spark.operators.multimodal", None),
+    "ahash64": ("kelos_on_kafka_spark.operators.multimodal", None),
+    "hamming_near_dup_pairs": ("kelos_on_kafka_spark.operators.dedup", None),
 }
 
 

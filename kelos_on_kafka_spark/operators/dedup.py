@@ -242,10 +242,29 @@ def simhash_near_dup_pairs(
     chunk and cost bucket selectivity.  ``max_hamming == 0`` buckets on
     the full hash (no mask: a 64-bit all-ones literal overflows
     LongType); widths are otherwise <= 33 bits, so masks stay in-range."""
+    sims = simhash64(df, id_col, text_col, n_bits=64, portable=portable)
+    return hamming_near_dup_pairs(
+        sims, "doc_id", "simhash", max_hamming, max_bucket
+    )
+
+
+def hamming_near_dup_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Near-dup pairs for ANY 64-bit hash column (simhash, image
+    perceptual hash, …) via the pigeonhole chunk cover + popcount
+    verification described on ``simhash_near_dup_pairs`` (which this
+    generalizes).  Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n_chunks = max_hamming + 1
-    sims = simhash64(df, id_col, text_col, n_bits=64, portable=portable)
+    sims = hashes.select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
     if n_chunks == 1:
         chunk_cols = [
             F.struct(F.lit(0).alias("chunk"), F.col("simhash").alias("val"))

@@ -243,3 +243,75 @@ def sample_video_frames(
     return media.select(asset_col, payload_col).mapInPandas(
         sample, FRAME_SCHEMA
     )
+
+
+def _fake_pixels(payload: bytes) -> np.ndarray:
+    """STUB pixel decode for the aHash path — 8x8 'grayscale' derived
+    deterministically from sha256 chained over the HEX digest (the
+    second hash runs on the lowercase hex STRING, not the raw digest,
+    so an external SQL engine whose sha256 is VARCHAR-only reproduces
+    the pixels).  Replace with Pillow
+    ``Image.open(...).convert('L').resize((8, 8))`` in deployment;
+    same seam contract as ``_decode_image``."""
+    hex1 = hashlib.sha256(payload).hexdigest()
+    d1 = bytes.fromhex(hex1)
+    d2 = hashlib.sha256(hex1.encode()).digest()
+    return np.frombuffer(d1 + d2, dtype=np.uint8).reshape(8, 8)
+
+
+def ahash64(pixels: np.ndarray) -> int:
+    """Average hash: 1 bit per pixel of the 8x8 grayscale — bit i set
+    iff pixel i (row-major) >= the image mean.  The standard cheap
+    perceptual hash; robust to re-encoding/resizing when fed real
+    downsampled pixels."""
+    flat = pixels.reshape(-1).astype(np.float64)
+    mean = flat.mean()
+    h = 0
+    for i, v in enumerate(flat):
+        if v >= mean:
+            h |= 1 << i
+    # keep the value in signed-long range for Spark's LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_phash(
+    media: DataFrame,
+    asset_col: str = "asset_id",
+    payload_col: str = "payload",
+    pixel_decoder=None,
+) -> DataFrame:
+    """Perceptual (average) hash per image asset: decode to 8x8
+    grayscale (``pixel_decoder`` seam, deterministic stub by default)
+    then aHash — returns (asset_id, phash: long).  Pair with
+    ``dedup.hamming_near_dup_pairs`` for perceptual near-dup detection:
+    unlike the byte-exact sha256 dedup, this catches re-encoded /
+    resized copies once a real decoder is injected.  One Arrow pass;
+    payload bytes never shuffle — only 8-byte hashes leave the scan."""
+    decode_one = pixel_decoder or _fake_pixels
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[asset_col].to_numpy(dtype=np.int64),
+                    "phash": np.array(
+                        [
+                            ahash64(decode_one(bytes(p)))
+                            for p in pdf[payload_col]
+                        ],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return media.select(asset_col, payload_col).mapInPandas(
+        compute,
+        StructType(
+            [
+                StructField("asset_id", LongType()),
+                StructField("phash", LongType()),
+            ]
+        ),
+    )

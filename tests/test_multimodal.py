@@ -165,3 +165,57 @@ def test_injected_decoders_flow_through_unchanged_schemas(spark, media):
     )
     assert [r["count"] for r in per_asset] == [2]
     assert bytes(frames.first()["frame"]) == payload[:8]
+
+
+def test_image_phash_and_hamming_pairs(spark):
+    """aHash over the deterministic pixel stub: Spark values equal the
+    pure-python recompute; planted near-identical pixel grids pair up
+    through the generic hamming pairing while distinct ones don't."""
+    import hashlib
+
+    import numpy as np
+
+    from kelos_on_kafka_spark.operators import multimodal
+    from kelos_on_kafka_spark.operators.dedup import hamming_near_dup_pairs
+
+    rows = [(i, f"asset-{i}".encode() * 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashed = multimodal.image_phash(df)
+    got = {r.asset_id: r.phash for r in hashed.collect()}
+    for i, payload in rows:
+        assert got[i] == multimodal.ahash64(multimodal._fake_pixels(payload))
+
+    # planted near-dups: inject a decoder where assets 0/1 share a grid
+    # up to one pixel and 2 is unrelated
+    def planted(payload: bytes):
+        n = int(hashlib.sha256(payload).hexdigest(), 16) % 1_000_000
+        base = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        if n % 3 == 2:
+            return 255 - base  # unrelated family
+        grid = base.copy()
+        if n % 3 == 1:
+            grid[0, 0] = grid[0, 0] + 1  # one-pixel perturbation
+        return grid
+
+    hashed2 = multimodal.image_phash(df, pixel_decoder=planted)
+    pairs = hamming_near_dup_pairs(
+        hashed2, "asset_id", "phash", max_hamming=2
+    ).collect()
+    fams = {}
+    for i, payload in rows:
+        n = int(hashlib.sha256(payload).hexdigest(), 16) % 1_000_000
+        fams[i] = n % 3
+    for p in pairs:
+        fa, fb = fams[p.doc_a], fams[p.doc_b]
+        assert (fa in (0, 1)) == (fb in (0, 1))  # never across families
+    same_family = [
+        (a, b)
+        for a in fams
+        for b in fams
+        if a < b
+        and (
+            (fams[a] in (0, 1) and fams[b] in (0, 1))
+            or (fams[a] == 2 and fams[b] == 2)  # identical inverted grids
+        )
+    ]
+    assert len(pairs) == len(same_family)  # all close pairs found
