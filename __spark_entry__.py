@@ -2587,8 +2587,12 @@ def oracle_sql() -> dict[str, str]:
                      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
               FROM events
             ), flagged AS (
+              -- boundary: Spark's session_window MERGES an event at
+              -- exactly prev_ts + gap (empirically pinned, see
+              -- tests/test_windowing.py boundary test) -> new session
+              -- only STRICTLY past the gap
               SELECT user_id, ts_us,
-                     CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
                           THEN 1 ELSE 0 END AS new_s
               FROM ordered
             ), sess AS (
@@ -2937,9 +2941,10 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY ts, event_id) AS prev_us
               FROM events
             ), flagged AS (
+              -- strict > : session_window merges at exactly prev+gap
               SELECT user_id, ts_us,
                      CASE WHEN prev_us IS NULL
-                               OR ts_us - prev_us >= 1800000000
+                               OR ts_us - prev_us > 1800000000
                           THEN 1 ELSE 0 END AS new_s
               FROM ordered
             ), sess AS (
@@ -3663,17 +3668,22 @@ def oracle_sql() -> dict[str, str]:
                      ) AS prev_us
               FROM events
             ), flagged AS (
+              -- strict > : aligned with session_window's merge-at-
+              -- exact-boundary semantics (and assign_session_ids)
               SELECT user_id, event_id, ts_us,
                      CASE WHEN prev_us IS NULL
-                               OR ts_us - prev_us >= 1800000000
+                               OR ts_us - prev_us > 1800000000
                           THEN 1 ELSE 0 END AS new_s
               FROM ordered
             ), seq AS (
               SELECT user_id, event_id, ts_us,
-                     sum(new_s) OVER (
+                     -- CAST: DuckDB sums ints to HUGEINT which pandas
+                     -- materializes as float64; the driver's byte-strict
+                     -- hash then sees 1.0 vs Spark's bigint 1 (r04 red row)
+                     CAST(sum(new_s) OVER (
                        PARTITION BY user_id ORDER BY ts_us, event_id
                        ROWS UNBOUNDED PRECEDING
-                     ) AS session_seq
+                     ) AS BIGINT) AS session_seq
               FROM flagged
             )
             SELECT user_id, event_id, ts_us, session_seq,
@@ -3683,12 +3693,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_diff": """
             WITH old AS (
-              SELECT doc_id, md5(text) AS fp
+              -- coalesce mirrors the library's NULL-content sentinel
+              -- (maintenance.snapshot_diff): md5 over chr(0)||'<null>'
+              SELECT doc_id, md5(coalesce(text, chr(0) || '<null>')) AS fp
               FROM documents WHERE doc_id % 7 != 0
             ), new AS (
               SELECT doc_id,
-                     md5(CASE WHEN doc_id % 5 = 0
-                              THEN concat(text, ' v2') ELSE text END) AS fp
+                     md5(coalesce(CASE WHEN doc_id % 5 = 0
+                              THEN concat(text, ' v2') ELSE text END,
+                              chr(0) || '<null>')) AS fp
               FROM documents WHERE doc_id % 11 != 0
             )
             SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,

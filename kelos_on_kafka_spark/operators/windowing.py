@@ -95,10 +95,12 @@ def assign_session_ids(
     attribute any event to its session without re-deriving boundaries.
     Returns (keys..., <id_col>, ts_us, session_seq, session_start_us).
 
-    Boundary convention matches ``session_windows``' oracle: a gap of
-    >= ``gap_seconds`` starts a new session.  One shuffle on the keys;
-    two window passes over the same per-key ordering (lag -> running
-    sum) plus a per-(key, seq) min."""
+    Boundary convention matches Spark's own ``session_window``
+    (empirically pinned in tests/test_windowing.py): an event at
+    EXACTLY prev_ts + gap merges into the open session; only a gap
+    STRICTLY greater than ``gap_seconds`` starts a new one.  One
+    shuffle on the keys; two window passes over the same per-key
+    ordering (lag -> running sum) plus a per-(key, seq) min."""
     gap_us = gap_seconds * 1_000_000
     w_order = Window.partitionBy(*key_cols).orderBy(
         F.col("__ts_us").asc(), F.col(id_col).asc()
@@ -111,7 +113,7 @@ def assign_session_ids(
         "__new",
         F.when(
             F.col("__prev").isNull()
-            | (F.col("__ts_us") - F.col("__prev") >= gap_us),
+            | (F.col("__ts_us") - F.col("__prev") > gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

@@ -29,22 +29,26 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # follows the source's file/trigger split, and the stateful
         # stages repartition on their keys anyway
         return df
-    # Estimate scan parallelism without the .rdd probe: each input file
-    # yields >= 1 scan partition, so >= target files is already wide
-    # enough; when only a FEW files back the plan, stat their sizes
-    # (public pyarrow FS — at most `target` stats) and count the
-    # maxPartitionBytes splits Spark will actually plan, so one large
-    # splittable file is not mistaken for one partition (repartitioning
-    # it would REDUCE parallelism).  Plans with no file lineage
-    # (post-shuffle, in-memory) already carry shuffle.partitions tasks —
-    # left alone.  At real scale any corpus scan has far more files
-    # than cores and the guard is a no-op.
+    # Estimate scan parallelism without the .rdd probe by modeling the
+    # planner's actual bin-packing (FilePartition.maxSplitBytes): Spark
+    # packs small files together (cost = size + openCostInBytes, bins of
+    # maxSplitBytes clamped by bytes-per-core), so a raw file count over-
+    # estimates partitions — e.g. many tiny files can still scan as few
+    # partitions.  Stat the files (public pyarrow FS) and compute the
+    # same formula; fall back to the file count only when stat fails.
+    # Plans with no file lineage (post-shuffle, in-memory) already carry
+    # shuffle.partitions tasks — left alone.  At real scale any corpus
+    # scan packs to >> cores and the guard is a no-op; the stat cost is
+    # capped by the wide-scan early return below.
     files = df.inputFiles()
     if not files:
         return df
-    if len(files) >= target:
+    if len(files) > 4 * target:
+        # with default openCostInBytes (4 MiB) even all-tiny files pack
+        # to >= len(files)*openCost/maxSplit >= target partitions here;
+        # skip stat'ing thousands of files for a guard that's a no-op
         return df
-    if _estimated_split_count(spark, files) >= target:
+    if _estimated_scan_partitions(spark, files, target) >= target:
         return df
     return df.repartition(target)
 
@@ -62,21 +66,37 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
-def _estimated_split_count(spark, files: list[str]) -> int:
-    """Sum of per-file maxPartitionBytes splits; falls back to the file
-    count when a filesystem cannot be stat'ed."""
+def _estimated_scan_partitions(spark, files: list[str], target: int) -> int:
+    """Model the planner's FilePartition packing: cost per file is
+    size + openCostInBytes, bin capacity is
+    ``min(maxPartitionBytes, max(openCostInBytes, totalCost/target))``
+    (the bytes-per-core clamp, with minPartitionNum defaulting to the
+    session parallelism), and the partition count is ~ceil(totalCost /
+    capacity).  This is what Spark actually plans — a raw file count
+    over-counts (tiny files are packed together) and a raw size/mpb
+    under-counts (the bytes-per-core clamp shrinks bins on small scans).
+    Falls back to the file count when a filesystem cannot be stat'ed."""
     from kelos_on_kafka_spark.plans import fsutil
 
     try:
         mpb = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
+        open_cost = _parse_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        min_parts = int(
+            spark.conf.get("spark.sql.files.minPartitionNum", None)
+            or target
+        )
         total = 0
         for f in files:
             fs, p = fsutil.resolve(f.removeprefix("file:"))
             size = fs.get_file_info(p).size or 0
-            total += max(1, -(-size // mpb))
-        return total
+            total += size + open_cost
+        bytes_per_core = total // max(1, min_parts)
+        max_split = min(mpb, max(open_cost, bytes_per_core))
+        return max(1, -(-total // max(1, max_split)))
     except Exception:  # noqa: BLE001 — estimation only, never fail the plan
         return len(files)
 

@@ -152,13 +152,16 @@ def snapshot_diff(
 
     Scale shape: each side reduces to (key, 16-byte md5) before the
     full-outer join — content never shuffles; the join is one exchange
-    per side on the key."""
-    of = old.select(
-        *key_cols, F.md5(F.col(content_col)).alias("old_fp")
-    )
-    nf = new.select(
-        *key_cols, F.md5(F.col(content_col)).alias("new_fp")
-    )
+    per side on the key.
+
+    NULL content gets a sentinel fingerprint (md5 over a NUL-prefixed
+    marker no real text contains) instead of a NULL one: status is
+    derived from KEY presence, and a NULL fingerprint would silently
+    reclassify a both-sides-present key as 'added' (the old_fp IS NULL
+    arm wins), triggering spurious reprocessing."""
+    _fp = lambda c: F.md5(F.coalesce(F.col(c), F.lit("\x00<null>")))  # noqa: E731
+    of = old.select(*key_cols, _fp(content_col).alias("old_fp"))
+    nf = new.select(*key_cols, _fp(content_col).alias("new_fp"))
     j = of.join(nf, key_cols, "full_outer")
     status = (
         F.when(F.col("old_fp").isNull(), F.lit("added"))

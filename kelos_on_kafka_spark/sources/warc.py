@@ -55,8 +55,15 @@ WARC_SCHEMA = StructType(
         StructField("warc_date", StringType()),
         StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
+        # per-SEGMENT malformed-record count, stamped on every row of
+        # the segment (constant within a segment); a segment whose
+        # records are ALL malformed emits one __audit__ sentinel row so
+        # the count is never silently lost
+        StructField("bad_records", LongType()),
     ]
 )
+
+AUDIT_SENTINEL_TYPE = "__audit__"
 
 _GZIP_MAGIC = b"\x1f\x8b"
 
@@ -143,8 +150,13 @@ def parse_warc_segments(
     """Explode a DataFrame of WARC segments (e.g. from
     ``spark.read.format('binaryFile')``) into one row per WARC record.
     Malformed records are skipped (resynchronizing on the next
-    ``WARC/`` marker); count them by comparing record totals upstream
-    if the corpus demands an audit."""
+    ``WARC/`` marker) and COUNTED: every emitted row carries its
+    segment's ``bad_records`` total, and a segment that parses to zero
+    records but nonzero damage emits one ``warc_type='__audit__'``
+    sentinel row (record_idx=-1, null url/payload) so no corruption is
+    silently dropped — ``groupBy(segment_id).max(bad_records)`` is the
+    corpus damage audit.  ``warc_to_pages`` filters to
+    ``warc_type='response'`` so sentinels never reach the page table."""
     import pyspark.sql.functions as F
 
     src = segments.select(
@@ -156,10 +168,24 @@ def parse_warc_segments(
         for pdf in batches:
             rows = []
             for seg_id, blob in zip(pdf["segment_id"], pdf["blob"]):
-                recs, _bad = parse_warc_bytes(bytes(blob))
+                recs, bad = parse_warc_bytes(bytes(blob))
                 for r in recs:
                     r["segment_id"] = seg_id
+                    r["bad_records"] = bad
                     rows.append(r)
+                if not recs and bad:
+                    rows.append(
+                        {
+                            "segment_id": seg_id,
+                            "record_idx": -1,
+                            "warc_type": AUDIT_SENTINEL_TYPE,
+                            "url": None,
+                            "warc_date": None,
+                            "content_length": 0,
+                            "payload": None,
+                            "bad_records": bad,
+                        }
+                    )
             if rows:
                 yield pd.DataFrame(rows)[
                     [f.name for f in WARC_SCHEMA.fields]

@@ -177,20 +177,23 @@ def stream_ivf_topk(
             F.col("vid").alias("neighbor_id"), "cvec", "cnrm", "cell_id"
         )
     )
-    # probe-side routing: nprobe nearest cells via an expression over
-    # the collected cell table (cnrm reused from the SAME JVM fold, so
-    # batch and stream scores are bit-identical)
-    cell_rows = cells_df.select("cell_id", "ccvec", "ccnrm").collect()
-    cells_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell_id"])).alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in r["ccvec"]]).alias("ccvec"),
-                F.lit(float(r["ccnrm"])).alias("ccnrm"),
-            )
-            for r in cell_rows
-        ]
-    )
+    # probe-side routing: nprobe nearest cells.  The cell table travels
+    # as broadcast DATA — one static row holding the whole table as an
+    # array<struct> (collect_list, sorted for determinism), stream-
+    # static-broadcast-joined onto every probe — NOT as a literal
+    # expression tree: at IVF scale (thousands of cells x high d) a
+    # literal array-of-structs is O(n_cells*d) expression nodes
+    # serialized into every task and re-analyzed by Catalyst per plan,
+    # while a broadcast value is O(1) plan nodes (VERDICT r4 #5).  The
+    # per-cell score uses the SAME JVM fold over the same doubles, so
+    # routing and scores stay bit-identical to the literal form (and to
+    # batch ivf_topk).  No window function touches the stream: ranking
+    # stays inside the array_sort/slice scalar expression.
+    cells_arr_df = cells_df.select(
+        F.struct(
+            F.col("cell_id"), F.col("ccvec"), F.col("ccnrm")
+        ).alias("cell_s")
+    ).agg(F.array_sort(F.collect_list("cell_s")).alias("cells_arr"))
     p = probes.withWatermark(ts_col, watermark_delay).select(
         F.col(ts_col).alias("_ts"),
         F.col(probe_id_col).alias("probe_id"),
@@ -199,7 +202,7 @@ def stream_ivf_topk(
     ranked_cells = F.slice(
         F.array_sort(
             F.transform(
-                cells_lit,
+                F.col("cells_arr"),
                 lambda cell: F.struct(
                     (
                         -F.try_divide(
@@ -214,14 +217,19 @@ def stream_ivf_topk(
         1,
         nprobe,
     )
-    routed = p.select(
-        "_ts",
-        "probe_id",
-        "pvec",
-        "pnrm",
-        F.explode(ranked_cells).alias("pc"),
-    ).select(
-        "_ts", "probe_id", "pvec", "pnrm", F.col("pc.cell_id").alias("pcell")
+    routed = (
+        p.join(F.broadcast(cells_arr_df))
+        .select(
+            "_ts",
+            "probe_id",
+            "pvec",
+            "pnrm",
+            F.explode(ranked_cells).alias("pc"),
+        )
+        .select(
+            "_ts", "probe_id", "pvec", "pnrm",
+            F.col("pc.cell_id").alias("pcell"),
+        )
     )
     scored = routed.join(
         assigned, F.col("pcell") == F.col("cell_id")

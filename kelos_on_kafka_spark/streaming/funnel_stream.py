@@ -54,7 +54,11 @@ def _state_schema(k: int) -> StructType:
     )
 
 
-def _make_funnel_fn(steps: list[str], within_us: int | None):
+def _make_funnel_fn(
+    steps: list[str],
+    within_us: int | None,
+    max_age_us: int | None = None,
+):
     k = len(steps)
 
     def fn(
@@ -106,14 +110,18 @@ def _make_funnel_fn(steps: list[str], within_us: int | None):
         elif s[0] == -1:
             # chain not started — state holds nothing worth keeping
             state.setTimeoutTimestamp(wm + 1)
-        elif within_us is not None:
-            # partial chain with a deadline: once the watermark passes
-            # s0 + within no admissible event can complete it — evict
-            state.setTimeoutTimestamp(
-                max((s[0] + within_us) // 1000, wm + 1)
+        elif within_us is not None or max_age_us is not None:
+            # partial chain with a horizon: once the watermark passes
+            # s0 + within no admissible event can complete it (deadline),
+            # or past s0 + max_age the chain is abandoned by policy —
+            # either way the state evicts, so partial chains cannot pin
+            # the state store forever
+            horizon = min(
+                b for b in (within_us, max_age_us) if b is not None
             )
-        # else: unbounded horizon with a live partial chain — state must
-        # persist (document: pass within_us at scale so state is bounded)
+            state.setTimeoutTimestamp(max((s[0] + horizon) // 1000, wm + 1))
+        # else: caller explicitly opted into unbounded state
+        # (allow_unbounded_state=True) — a live partial chain persists
         if out is not None:
             yield out
 
@@ -129,15 +137,32 @@ def stream_funnel(
     within_us: int | None = None,
     id_col: str = "event_id",
     watermark_delay: str = "0 seconds",
+    max_age_us: int | None = None,
+    allow_unbounded_state: bool = False,
 ) -> DataFrame:
     """Streaming leftmost-greedy funnel: emits one row per key WHEN its
     chain completes within the deadline — (key, s0_us..s{k-1}_us,
     matched=true, duration_us).  Exactly the ``matched`` rows of the
     batch ``funnel_steps`` for in-order event-time arrival (a test and
     the driver oracle pin this); unmatched keys emit nothing and their
-    state is evicted once the deadline passes."""
+    state is evicted once the deadline passes.
+
+    State is BOUNDED BY DEFAULT: a partial chain's state evicts once
+    the watermark passes ``s0 + min(within_us, max_age_us)``.  With
+    neither bound set, a key that starts a chain but never completes it
+    would pin its state store entry forever — an unbounded state store
+    at 10^12-key scale — so that configuration raises unless the caller
+    passes ``allow_unbounded_state=True`` explicitly.  ``max_age_us``
+    abandons still-completable chains older than the age by policy
+    (set it >= within_us to make it retention-only)."""
     if len(steps) < 2:
         raise ValueError("stream_funnel needs at least 2 steps")
+    if within_us is None and max_age_us is None and not allow_unbounded_state:
+        raise ValueError(
+            "stream_funnel with neither within_us nor max_age_us keeps "
+            "partial-chain state forever (unbounded state store); pass a "
+            "bound, or allow_unbounded_state=True to opt in explicitly"
+        )
     prepared = events.withWatermark(ts_col, watermark_delay).select(
         F.col(key_col).cast("long").alias("key"),
         epoch_us(ts_col).alias("ts_us"),
@@ -146,7 +171,7 @@ def stream_funnel(
         F.col(ts_col).alias("_event_ts"),
     )
     return prepared.groupBy("key").applyInPandasWithState(
-        _make_funnel_fn(list(steps), within_us),
+        _make_funnel_fn(list(steps), within_us, max_age_us),
         outputStructType=_out_schema(len(steps)),
         stateStructType=_state_schema(len(steps)),
         outputMode="append",

@@ -142,3 +142,71 @@ def test_stream_ivf_matches_batch_ivf(spark, tmp_path, corpus):
         )
     )
     assert got == want
+
+
+def test_stream_ivf_routes_via_broadcast_data_at_many_cells(
+    spark, tmp_path, corpus
+):
+    """VERDICT r4 #5: the probe-side cell routing must ship the cell
+    table as broadcast DATA (one array-of-structs row joined onto the
+    stream), not an O(n_cells*d) literal expression tree — at n_cells
+    = 256 the old literal form serialized ~256*8 literals into every
+    task.  Checks (a) the streaming plan stays small and shows the
+    broadcast join, (b) results still match batch ivf_topk with the
+    same trained centroids."""
+    from kelos_on_kafka_spark.operators.similarity import ivf_topk
+    from kelos_on_kafka_spark.streaming.ann_stream import stream_ivf_topk
+
+    rng = np.random.default_rng(7)
+    centroids = [
+        [float(x) for x in rng.normal(size=DIM)] for _ in range(256)
+    ]
+    probe_ids = [0, 3, 9]
+    probes = corpus.where(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.timestamp_seconds(F.lit(BASE_S)).alias("ts"),
+        F.col("embedding").alias("vec"),
+    )
+    src = str(tmp_path / f"ivfb_{uuid.uuid4().hex[:8]}")
+    probes.coalesce(1).write.parquet(f"{src}/data")
+    spark.createDataFrame(
+        [(999_999, BASE_S + 10 * 3600)], "probe_id long, sec long"
+    ).select(
+        "probe_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        F.array(*[F.lit(0.0)] * DIM).cast("array<float>").alias("vec"),
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "probe_id long, ts timestamp, vec array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_ivf_topk(
+        stream, corpus, k=4, n_cells=256, nprobe=3, window="1 hour",
+        centroids=centroids,
+    )
+    # (a) plan shape: no literal blow-up (a 256x8 literal tree pushes
+    # the analyzed plan well past 100kB), and the routing join exists
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 60_000, f"plan ballooned to {len(plan)} chars"
+    assert "cells_arr" in plan
+    name = f"ivfb_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).where(F.col("probe_id") < 999_999).collect()
+    got = sorted((r.probe_id, r.rank, r.neighbor_id) for r in rows)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                corpus, probe_ids, k=4, n_cells=256, nprobe=3,
+                centroids=centroids,
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len(got) > 0

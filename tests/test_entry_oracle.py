@@ -55,6 +55,20 @@ def _values_equal(a, b) -> bool:
     return str(a) == str(b)
 
 
+# The driver's gate hashes the stringified canonical frame, so an int64
+# column on one engine vs float64 on the other breaks the hash even when
+# every value compares numerically equal ("1" vs "1.0" — exactly what
+# sank session_assign in r04: DuckDB windowed sum -> HUGEINT -> pandas
+# float64 vs Spark bigint).  Numeric value equality (above) PLUS
+# dtype-family equality (below) together imply string-repr equality,
+# which is what the driver actually hashes.
+_KIND_FAMILY = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+
+
+def _dtype_family(s: pd.Series) -> str:
+    return _KIND_FAMILY.get(s.dtype.kind, "other")
+
+
 ORACLES = entry_mod.oracle_sql()
 
 
@@ -69,6 +83,17 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
     )
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
 
+    dtype_mism = [
+        (c, str(spark_pdf[c].dtype), str(duck_pdf[c].dtype))
+        for c in spark_pdf.columns
+        if _dtype_family(spark_pdf[c]) != _dtype_family(duck_pdf[c])
+    ]
+    assert not dtype_mism, (
+        f"{name}: dtype-family drift (spark vs oracle) {dtype_mism} — "
+        "the driver's byte-strict hash WILL fail on this even if values "
+        "are numerically identical; cast the oracle output column"
+    )
+
     a = _normalize(spark_pdf)
     b = _normalize(duck_pdf)
     mism = []
@@ -80,6 +105,23 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
                 if len(mism) > 5:
                     break
     assert not mism, f"{name}: {mism[:5]}"
+
+
+def test_mirror_catches_dtype_drift(ddb):
+    """Mutation guard for the r04 session_assign failure mode: an
+    UNCAST DuckDB windowed sum comes back float64 (HUGEINT -> pandas)
+    and must trip the dtype-family check; the committed CAST(... AS
+    BIGINT) oracle must come back int-family."""
+    uncast = ddb.execute(
+        "SELECT sum(x) OVER (ORDER BY x) AS s FROM (VALUES (1),(2)) t(x)"
+    ).df()
+    assert _dtype_family(uncast["s"]) == "float"  # the driver-breaking shape
+    fixed = ddb.execute(
+        "SELECT CAST(sum(x) OVER (ORDER BY x) AS BIGINT) AS s "
+        "FROM (VALUES (1),(2)) t(x)"
+    ).df()
+    assert _dtype_family(fixed["s"]) == "int"
+    assert "CAST" in ORACLES["session_assign"].upper().split("SESSION_SEQ")[0]
 
 
 def test_rows_only_queries_run(spark):

@@ -132,5 +132,75 @@ def test_stream_funnel_validates_steps(spark):
     with pytest.raises(ValueError, match="at least 2"):
         stream_funnel(
             ev, key_col="user_id", ts_col="ts", type_col="event_type",
-            steps=["A"],
+            steps=["A"], within_us=1,
         )
+
+
+def test_stream_funnel_rejects_unbounded_state_by_default(spark):
+    """Neither within_us nor max_age_us -> a partial chain would pin
+    state forever; must raise unless explicitly opted in (VERDICT r4 #4)."""
+    ev = _events(spark, [(1, 10, "A")])
+    with pytest.raises(ValueError, match="unbounded state"):
+        stream_funnel(
+            ev, key_col="user_id", ts_col="ts", type_col="event_type",
+            steps=["A", "B"],
+        )
+    # explicit opt-in still constructs
+    stream_funnel(
+        ev, key_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["A", "B"], allow_unbounded_state=True,
+    )
+    # max_age_us alone is a valid bound
+    stream_funnel(
+        ev, key_col="user_id", ts_col="ts", type_col="event_type",
+        steps=["A", "B"], max_age_us=10,
+    )
+
+
+def test_stream_funnel_evicts_never_completing_chain_state(spark, tmp_path):
+    """A key that starts a chain but never completes it must have its
+    state watermark-evicted once the deadline passes — observed via the
+    state operator's numRowsTotal in the final micro-batch."""
+    import uuid as _uuid
+
+    src = str(tmp_path / f"evict_{_uuid.uuid4().hex[:8]}")
+    # f0: key 1 starts a chain (A, t=10s). f1/f2: sentinel keys far in
+    # the future advance the watermark past s0 + within (deadline 100s),
+    # so batch 3 must fire key 1's EventTimeTimeout and remove it.
+    batches = [
+        [(0, 1, 10, "A")],
+        [(1, 50, 100_000, "X")],
+        [(2, 60, 200_000, "X")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(e, u, BASE + s, t) for e, u, s, t in rows],
+            "event_id long, user_id long, sec long, event_type string",
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_seconds("sec").alias("ts"), "event_type",
+        ).coalesce(1).write.parquet(f"{src}/f{i:03d}")
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    name = f"evict_{_uuid.uuid4().hex[:10]}"
+    q = (
+        stream_funnel(
+            stream, key_col="user_id", ts_col="ts",
+            type_col="event_type", steps=["A", "B"],
+            within_us=100_000_000,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table(name).count() == 0  # chain never completed
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    # key 1's partial-chain state must be gone; at most the final
+    # sentinel key's fresh state may linger (its timeout hasn't fired)
+    assert state_rows <= 1, (
+        f"partial-chain state leaked: {state_rows} state rows remain"
+    )

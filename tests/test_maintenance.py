@@ -203,3 +203,22 @@ def test_snapshot_diff_statuses(spark):
     rows = {r.doc_id: r for r in snapshot_diff(old, new, ["doc_id"]).collect()}
     assert rows[1].new_fp == "" and rows[4].old_fp == ""
     assert rows[2].old_fp == rows[2].new_fp != ""
+
+
+def test_snapshot_diff_null_content(spark):
+    """A key present in BOTH snapshots with NULL text must classify by
+    key presence (unchanged / changed), not fall into 'added' via a NULL
+    fingerprint (ADVICE r4: old_fp IS NULL arm won on NULL content)."""
+    from kelos_on_kafka_spark.plans.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now-set"), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, ["doc_id"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "changed"}

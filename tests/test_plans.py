@@ -140,6 +140,29 @@ def test_fan_out_counts_splits_of_large_files(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
+def test_fan_out_models_bin_packing_of_tiny_files(spark, tmp_path):
+    """ADVICE r4: >= target FILES does not mean >= target PARTITIONS —
+    Spark bin-packs small files (cost = size + openCost, bins of
+    maxSplitBytes with the bytes-per-core clamp).  With minPartitionNum
+    pinned to 1 the clamp packs 8 tiny files into ~1 scan partition, so
+    fan_out must widen despite the file count."""
+    from kelos_on_kafka_spark.plans import layout
+
+    p = str(tmp_path / "tiny8")
+    spark.range(800).repartition(8).write.parquet(p)  # 8 tiny files
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        df = spark.read.parquet(p)
+        assert len(df.inputFiles()) >= 8
+        # model agrees with the planner: everything packs into ~1 bin
+        est = layout._estimated_scan_partitions(spark, df.inputFiles(), 4)
+        assert est < 4
+        out = layout.fan_out(df, min_partitions=4)
+        assert out is not df  # must repartition despite 8 >= 4 files
+    finally:
+        spark.conf.unset("spark.sql.files.minPartitionNum")
+
+
 def test_fsutil_resolve_hint_and_local():
     import pytest as _pytest
 

@@ -79,6 +79,53 @@ def test_spark_operator_explodes_segments(spark):
     assert {c for c in pages.columns} == {"url", "warc_ts", "html"}
 
 
+def test_spark_operator_surfaces_bad_record_counts(spark):
+    """VERDICT r4 #7: the operator itself must quantify skipped
+    records — every row carries its segment's bad_records total, and an
+    all-damage segment emits one __audit__ sentinel so its count
+    survives."""
+    good = _segment(3)
+    damaged = (
+        _segment(2, "https://d.org/x")
+        + b"GARBAGE NOT A RECORD\r\n"
+        + _record(
+            "https://d.org/tail", "2024-02-01T00:00:00Z", b"<html>t</html>"
+        )
+        + b"TRAILING JUNK WITH NO MARKER"
+    )
+    all_bad = b"NOT WARC AT ALL"
+    df = spark.createDataFrame(
+        [("clean", good), ("dmg", damaged), ("junk", all_bad)],
+        "path string, content binary",
+    )
+    out = warc.parse_warc_segments(df)
+    per_seg = {
+        r.segment_id: r
+        for r in out.groupBy("segment_id")
+        .agg(
+            F.max("bad_records").alias("bad"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    }
+    assert per_seg["clean"].bad == 0 and per_seg["clean"].rows == 3
+    assert per_seg["dmg"].bad == 2 and per_seg["dmg"].rows == 3
+    # all-damage segment: one audit sentinel row, nothing else
+    assert per_seg["junk"].bad == 1 and per_seg["junk"].rows == 1
+    sent = out.where(
+        F.col("warc_type") == warc.AUDIT_SENTINEL_TYPE
+    ).collect()
+    assert [s.segment_id for s in sent] == ["junk"]
+    assert sent[0].record_idx == -1 and sent[0].url is None
+    # sentinels never reach the page table
+    assert (
+        warc.warc_to_pages(out)
+        .where(F.col("url").isNull())
+        .count()
+        == 0
+    )
+
+
 def test_pages_flow_into_feature_extraction(spark):
     from kelos_on_kafka_spark.functions.features import featurize_pages
 
