@@ -2454,6 +2454,162 @@ def q_kelos_topn_epan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 operators: n-gram LM scoring, incremental dedup, outage gaps,
+# sessionized engagement, cluster occupancy, histogram drift, chained
+# streaming rollup
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-frequency 'perplexity proxy' (operators/lm.py):
+    per-doc min/sum/mean corpus frequency of its word bigrams —
+    integer-first so the hash is engine-exact (the one double is a
+    single division of two exact counts)."""
+    from kelos_on_kafka_spark.operators.lm import bigram_rarity
+
+    return bigram_rarity(_t(spark, sf_dir, "documents"))
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a new crawl batch against the previous snapshot's digest
+    table (dedup.incremental_dedup).  Fixture: old corpus = digests of
+    doc_id % 3 == 0 originals; new batch = all docs with doc_id % 11
+    == 0 texts collapsed to one boilerplate page — exercises all three
+    statuses (seen / keep / batch_dup)."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("BOILERPLATE PAGE")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    old = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    return dedup.incremental_dedup(new_batch, old)
+
+
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user silence gaps > 1h (temporal.detect_gaps): feed-health /
+    outage detection, the inverse of sessionization under the same
+    strict-> boundary convention."""
+    from kelos_on_kafka_spark.operators.temporal import detect_gaps
+
+    return detect_gaps(
+        _t(spark, sf_dir, "events"), "ts", ["user_id"], HOUR_US
+    )
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sessionized engagement metrics (webtext.bounce_rate):
+    sessions as strict-> 30-min islands per user, bounce = 1-event
+    session, attributed to the UTC day of the session start."""
+    from kelos_on_kafka_spark.operators.webtext import bounce_rate
+
+    return bounce_rate(_t(spark, sf_dir, "events"))
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-assignment occupancy report over the embedding corpus
+    (similarity.cluster_sizes): every vector to its nearest of 8
+    deterministic centroids (the IVF quantizer), integer-only output."""
+    return similarity.cluster_sizes(
+        _t(spark, sf_dir, "embeddings"), n_cells=8
+    )
+
+
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram drift between two event slices
+    (maintenance.distribution_drift): fixed [0,100) buckets over
+    ``value``, split by event_id parity — the per-snapshot data-quality
+    gate."""
+    from kelos_on_kafka_spark.plans.maintenance import distribution_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return distribution_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        0.0,
+        100.0,
+        10,
+    )
+
+
+def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming aggregation
+    (relational.stream_chained_window_agg): 10-min pane counts per
+    event_type feeding an hourly rollup of pane statistics inside ONE
+    streaming query (two watermark-driven stateful operators, the
+    Spark >= 3.4 multi-stateful path).  Staging = q_stream_topn's
+    distributed pattern (range-partitioned sorted files + span
+    watermark + late sentinel)."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_chained_window_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+        "event_type",
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    span_s = int((row["hi"] - row["lo"]) // 1_000_000) + 3600
+    sentinel_sec = int(row["hi"] // 1_000_000) + span_s + 4 * 3600
+    src = tempfile.mkdtemp(prefix="schain_src_")
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data.parquet")
+    )
+    spark.createDataFrame(
+        [(999_999_999, sentinel_sec, "click")],
+        "event_id long, sec long, event_type string",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    ).coalesce(1).write.parquet(f"{src}/sentinel.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/*.parquet")
+    )
+    out = stream_chained_window_agg(
+        stream,
+        pane="10 minutes",
+        coarse="1 hour",
+        watermark=f"{span_s} seconds",
+    )
+    name = f"schain_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(
+        F.unix_micros("window_start")
+        < F.lit((sentinel_sec - 3600) * 1_000_000)
+    ).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type",
+        "n_panes",
+        "max_pane_count",
+        "sum_pane_count",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2465,7 +2621,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed CORRECTNESS_r*.json artifacts — never append a
     new query at the end."""
     return {
-        # --- never driver-gated before round 4 (registry was >50) ---
+        # --- NEW in round 5 (never driver-gated) ---
+        "bigram_rarity": q_bigram_rarity,
+        "incremental_dedup": q_incremental_dedup,
+        "event_gaps": q_event_gaps,
+        "bounce_rate": q_bounce_rate,
+        "cluster_sizes": q_cluster_sizes,
+        "value_drift": q_value_drift,
+        "stream_chained_agg": q_stream_chained_agg,
+        # --- oracle or implementation CHANGED in round 5: must re-green
+        # (session boundary convention moved to strict >; session_assign
+        # oracle dtype fix; snapshot_diff NULL sentinel; stream_knn_ivf
+        # broadcast-data routing; stream_funnel state bound) ---
+        "session_assign": q_session_assign,
+        "session_windows": q_session_windows,
+        "stream_session": q_stream_session,
+        "snapshot_diff": q_snapshot_diff,
+        "stream_knn_ivf": q_stream_knn_ivf,
+        "stream_funnel": q_stream_funnel,
+        # --- rotate-back: longest-unverified driver-green (r01) so the
+        # hard-signal evidence stays fresh (VERDICT r4 #6) ---
+        "stream_tumbling": q_stream_tumbling,
+        "stream_sliding": q_stream_sliding,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_image_dims": q_multimodal_image_dims,
+        "media_exact_dups": q_media_exact_dups,
+        "video_frames": q_video_frames,
+        "audio_meta": q_audio_meta,
+        "lang_guess": q_lang_guess,
+        # --- KELOS debug surface (rows-only by design; keep gated) ---
+        "kelos_topn_epan": q_kelos_topn_epan,
+        "kelos_topn": q_kelos_topn,
+        "kelos_assignments": q_kelos_assignments,
+        "kelos_clusters": q_kelos_clusters,
+        "kelos_candidates": q_kelos_candidates,
+        # --- recent driver-green (r04), fill the window to 50; the rest
+        # rotate behind the gate under local-mirror guard ---
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
         "redact_pii": q_redact_pii,
@@ -2485,38 +2676,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bloom_dedup": q_stream_bloom_dedup,
         "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
-        # --- new in round 4 ---
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "span_dedup": q_span_dedup,
         "span_clean": q_span_clean,
         "props_extract": q_props_extract,
+        # --- behind the gate from here (position > 50): all have a
+        # committed driver-green row and stay mirror-guarded ---
         "weighted_strat_cap": q_weighted_strat_cap,
         "norm_dedup": q_norm_dedup,
         "cube_events": q_cube_events,
-        "snapshot_diff": q_snapshot_diff,
         "top_orders": q_top_orders,
-        "session_assign": q_session_assign,
         "quality_verdicts": q_quality_verdicts,
         "image_phash": q_image_phash,
         "funnel_steps": q_funnel_steps,
         "stream_knn": q_stream_knn,
-        "stream_knn_ivf": q_stream_knn_ivf,
         "stream_bloom_sharded": q_stream_bloom_sharded,
-        "stream_funnel": q_stream_funnel,
         "stream_session_dynamic": q_stream_session_dynamic,
         "stream_sample": q_stream_sample,
-        "kelos_topn_epan": q_kelos_topn_epan,
-        # --- KELOS debug surface (rows-only by design; keep gated) ---
-        "kelos_topn": q_kelos_topn,
-        "kelos_assignments": q_kelos_assignments,
-        "kelos_clusters": q_kelos_clusters,
-        "kelos_candidates": q_kelos_candidates,
-        # --- long driver-green (r1-r3); fill the window to 50, rest
-        # --- rotate behind the gate under local-mirror guard ---
         "pane_agg": q_pane_agg,
         "sliding_window": q_sliding_window,
-        "session_windows": q_session_windows,
         "topn_per_pane": q_topn_per_pane,
         "interval_join": q_interval_join,
         "dedup_exact": q_dedup_exact,
@@ -2540,15 +2719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "simhash16_portable": q_simhash16_portable,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_image_dims": q_multimodal_image_dims,
-        "media_exact_dups": q_media_exact_dups,
-        "video_frames": q_video_frames,
-        "audio_meta": q_audio_meta,
-        "lang_guess": q_lang_guess,
-        "stream_tumbling": q_stream_tumbling,
-        "stream_sliding": q_stream_sliding,
-        "stream_session": q_stream_session,
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "semi_join": q_semi_join,
@@ -2568,6 +2738,164 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "bigram_rarity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2
+            ), g AS (
+              SELECT doc_id, concat(t[i], ' ', t[i+1]) AS gram FROM idx
+              WHERE concat(t[i], ' ', t[i+1]) != ''
+            ), c AS (
+              SELECT gram, count(*) AS cg FROM g GROUP BY gram
+            )
+            SELECT g.doc_id,
+                   count(*) AS n_bigrams,
+                   min(c.cg) AS min_bigram_freq,
+                   CAST(sum(c.cg) AS BIGINT) AS sum_bigram_freq,
+                   CAST(sum(c.cg) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS mean_bigram_freq
+            FROM g JOIN c USING (gram) GROUP BY g.doc_id
+        """,
+        "incremental_dedup": """
+            WITH newb AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN 'BOILERPLATE PAGE'
+                          ELSE text END AS text
+              FROM documents
+            ), old AS (
+              SELECT DISTINCT md5(text) AS digest
+              FROM documents WHERE doc_id % 3 = 0
+            ), fp AS (
+              SELECT doc_id, md5(text) AS digest FROM newb
+            ), k AS (
+              SELECT digest, min(doc_id) AS keeper FROM fp GROUP BY digest
+            )
+            SELECT fp.doc_id, fp.digest,
+                   CASE WHEN old.digest IS NOT NULL THEN 'seen'
+                        WHEN fp.doc_id = k.keeper THEN 'keep'
+                        ELSE 'batch_dup' END AS status
+            FROM fp
+            JOIN k ON fp.digest = k.digest
+            LEFT JOIN old ON fp.digest = old.digest
+        """,
+        "event_gaps": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS nx
+              FROM events
+            )
+            SELECT user_id, t AS gap_start_us, nx AS gap_end_us,
+                   nx - t AS gap_us
+            FROM o WHERE nx IS NOT NULL AND nx - t > 3600000000
+        """,
+        "bounce_rate": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS p
+              FROM events
+            ), f AS (
+              SELECT user_id, event_id, t,
+                     CASE WHEN p IS NULL OR t - p > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM o
+            ), s AS (
+              SELECT user_id, t,
+                     sum(ns) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS sid
+              FROM f
+            ), sess AS (
+              SELECT user_id, sid, min(t) AS start_us,
+                     count(*) AS n_ev
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT start_us // 86400000000 AS day_id,
+                   count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     AS bounce_pct
+            FROM sess GROUP BY 1
+        """,
+        "cluster_sizes": """
+            WITH c AS (
+              SELECT vec_id, cast(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), cell AS (
+              SELECT vec_id AS cell_id, v AS cv FROM c WHERE vec_id < 8
+            ), s AS (
+              SELECT c.vec_id, cell.cell_id,
+                     list_dot_product(c.v, cell.cv)
+                     / (sqrt(list_dot_product(c.v, c.v))
+                        * sqrt(list_dot_product(cell.cv, cell.cv))) AS sim
+              FROM c, cell
+            ), r AS (
+              SELECT vec_id, cell_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cell_id) AS rn
+              FROM s
+            )
+            SELECT cell_id, count(*) AS n_vectors,
+                   min(vec_id) AS min_vec_id
+            FROM r WHERE rn = 1 GROUP BY cell_id
+        """,
+        "value_drift": """
+            WITH ha AS (
+              SELECT least(greatest(CAST(floor((value - 0.0) / 10.0)
+                                         AS BIGINT), 0), 9) AS bucket_id,
+                     count(*) AS n_a
+              FROM events
+              WHERE event_id % 2 = 0 AND value IS NOT NULL
+              GROUP BY 1
+            ), hb AS (
+              SELECT least(greatest(CAST(floor((value - 0.0) / 10.0)
+                                         AS BIGINT), 0), 9) AS bucket_id,
+                     count(*) AS n_b
+              FROM events
+              WHERE event_id % 2 = 1 AND value IS NOT NULL
+              GROUP BY 1
+            ), j AS (
+              SELECT coalesce(ha.bucket_id, hb.bucket_id) AS bucket_id,
+                     coalesce(ha.n_a, 0) AS n_a,
+                     coalesce(hb.n_b, 0) AS n_b
+              FROM ha FULL OUTER JOIN hb ON ha.bucket_id = hb.bucket_id
+            )
+            SELECT bucket_id, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_a AS DOUBLE)
+                     / CAST(sum(n_a) OVER () AS DOUBLE) AS share_a,
+                   CAST(n_b AS DOUBLE)
+                     / CAST(sum(n_b) OVER () AS DOUBLE) AS share_b
+            FROM j
+        """,
+        "stream_chained_agg": """
+            WITH p AS (
+              SELECT epoch_us(ts) // 600000000 AS pane, event_type,
+                     count(*) AS pc
+              FROM events GROUP BY 1, 2
+            ), c AS (
+              SELECT (pane * 600000000) // 3600000000 AS cw, event_type,
+                     count(*) AS n_panes,
+                     max(pc) AS max_pane_count,
+                     CAST(sum(pc) AS BIGINT) AS sum_pane_count
+              FROM p GROUP BY 1, 2
+            )
+            SELECT cw * 3600000000 AS window_start_us,
+                   cw * 3600000000 + 3600000000 AS window_end_us,
+                   event_type, n_panes, max_pane_count, sum_pane_count
+            FROM c
+        """,
         "pane_agg": """
             SELECT epoch_us(ts) // 3600000000 AS pane_id,
                    count(*) AS n_events,

@@ -218,6 +218,13 @@ def main() -> None:
         "session_assign",
         "quality_verdicts",
         "image_phash",
+        # round 5
+        "bigram_rarity",
+        "incremental_dedup",
+        "event_gaps",
+        "bounce_rate",
+        "cluster_sizes",
+        "value_drift",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -684,3 +684,45 @@ def span_clean_docs(
             )
         ).alias("clean_md5"),
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup an incoming batch against a PREVIOUS snapshot's digest
+    table — the incremental-crawl shape: each new snapshot is deduped
+    against the accumulated corpus without rereading old text.  Returns
+    one row per new doc: (doc_id, digest, status) with status in
+    ('keep', 'batch_dup', 'seen') — 'seen' = digest already in the old
+    corpus, 'batch_dup' = duplicated WITHIN the new batch (keeper = min
+    doc_id, matching exact_dup_groups), 'keep' = the batch keeper of an
+    unseen digest.  The kept set is exactly what exact dedup over
+    (old ∪ new) would keep from the new batch.
+
+    Scale shape: text reduces to a 16-byte md5 at the scan; both the
+    within-batch keeper aggregation (groupBy digest -> min id, map-side
+    combinable, no window over hot digests) and the against-old check
+    (left SEMI-shaped join on digest against a digest-only table) move
+    digests, never text.  old_digests at 10^12 docs is itself a
+    bucketed-by-digest table, making the join co-partitioned."""
+    fp = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("digest"),
+    )
+    keepers = fp.groupBy("digest").agg(F.min("doc_id").alias("_keeper"))
+    old = old_digests.select(
+        F.col(digest_col).alias("digest"), F.lit(True).alias("_seen")
+    ).dropDuplicates(["digest"])
+    joined = fp.join(keepers, "digest").join(old, "digest", "left")
+    return joined.select(
+        "doc_id",
+        "digest",
+        F.when(F.col("_seen").isNotNull(), F.lit("seen"))
+        .when(F.col("doc_id") == F.col("_keeper"), F.lit("keep"))
+        .otherwise(F.lit("batch_dup"))
+        .alias("status"),
+    )

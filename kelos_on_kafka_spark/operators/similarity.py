@@ -627,3 +627,92 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("probe_id", "rank", "neighbor_id", "dist")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """One k-means ASSIGNMENT step over the corpus: every vector to its
+    nearest centroid by cosine — (vec_id, cell_id).  Same deterministic
+    quantizer as ``ivf_topk`` (first ``n_cells`` corpus vectors, or
+    trained ``centroids``), so this is also the IVF partition map a
+    corpus re-bucketing job materializes.  Integer-only output (the
+    float similarity stays internal — same driver contract as knn_pq).
+
+    Scale shape: ZERO shuffle for the assignment itself — the centroid
+    table travels as one broadcast array-of-structs row (the
+    stream-ANN routing pattern) and the argmax is a scalar
+    array_sort fold per vector inside codegen.  A groupBy/max_by
+    formulation would compile to a SortAggregate behind a full
+    corpus shuffle on the vector id (measured: Exchange + double Sort
+    in the executed plan); this form touches each row exactly once in
+    its scan partition."""
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    if centroids is not None:
+        cells = c.sparkSession.createDataFrame(
+            [(i, [float(x) for x in vec]) for i, vec in enumerate(centroids)],
+            "cell_id long, cv array<double>",
+        ).withColumn("cnrm", _norm(F.col("cv")))
+    else:
+        cells = c.where(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    cells_arr = cells.select(
+        F.struct("cell_id", "cv", "cnrm").alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("cells_arr"))
+    # per-row argmax: sort (−sim, cell_id) structs ascending and take
+    # the head — ties break to the LOWEST cell id, and NULL sims
+    # (zero-norm vectors) are pushed last via +inf, both matching the
+    # oracle's ORDER BY sim DESC NULLS LAST, cell_id
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("cells_arr"),
+                lambda cell: F.struct(
+                    F.coalesce(
+                        -F.try_divide(
+                            _dot(F.col("v"), cell["cv"]),
+                            F.col("nrm") * cell["cnrm"],
+                        ),
+                        F.lit(float("inf")),
+                    ).alias("negs"),
+                    cell["cell_id"].alias("cell_id"),
+                ),
+            )
+        ),
+        1,
+    )["cell_id"]
+    return c.join(F.broadcast(cells_arr)).select(
+        "vec_id", best.alias("cell_id")
+    )
+
+
+def cluster_sizes(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cluster-occupancy report over ``kmeans_assign``: (cell_id,
+    n_vectors, min_vec_id) — the balance check a pipeline runs before
+    committing an IVF layout (empty or overloaded cells mean the
+    quantizer needs retraining).  One broadcast projection + one
+    map-side-combinable aggregation."""
+    assigned = kmeans_assign(
+        embeddings, n_cells, id_col=id_col, vec_col=vec_col,
+        centroids=centroids,
+    )
+    return assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

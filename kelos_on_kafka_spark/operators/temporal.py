@@ -349,3 +349,44 @@ def funnel_steps(
         )
         .distinct()
     )
+
+
+def detect_gaps(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    min_gap_us: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key silence/outage detection: one row per gap where the
+    key's next event arrives more than ``min_gap_us`` after the
+    previous one — (keys..., gap_start_us, gap_end_us, gap_us).  The
+    monitoring primitive for feed-health (a source going quiet) and the
+    inverse of sessionization (its gaps are exactly the session
+    boundaries under the same strict-> convention).
+
+    One shuffle on the keys, one window pass (lead) — same cost shape
+    as sessionization; nothing but (key, ts) ever moves.
+
+    Reference surface: the reference detects closed windows via
+    EndOfWindowToken punctuation (Main.java:147-160); a gap here is the
+    batch view of the same 'stream went silent' condition."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__ts_us").asc(), F.col(id_col).asc()
+    )
+    base = events.select(
+        *key_cols, F.col(id_col), epoch_us(ts_col).alias("__ts_us")
+    )
+    nxt = base.withColumn("__next_us", F.lead("__ts_us").over(w))
+    return (
+        nxt.where(
+            F.col("__next_us").isNotNull()
+            & (F.col("__next_us") - F.col("__ts_us") > min_gap_us)
+        )
+        .select(
+            *key_cols,
+            F.col("__ts_us").alias("gap_start_us"),
+            F.col("__next_us").alias("gap_end_us"),
+            (F.col("__next_us") - F.col("__ts_us")).alias("gap_us"),
+        )
+    )

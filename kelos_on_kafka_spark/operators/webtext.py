@@ -87,3 +87,69 @@ def domain_capped(
         "domain", registered_domain(url_host(url_col))
     )
     return stratified_cap(with_dom, ["domain"], id_col, max_per_domain, seed)
+
+
+def bounce_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Daily engagement metrics over sessionized traffic: sessions are
+    per-user strict-> gap islands (the session_window-aligned
+    convention, see operators.windowing.assign_session_ids), a bounce
+    is a single-event session, and each session counts toward the UTC
+    day its FIRST event lands in.  Returns (day_id, n_sessions,
+    n_bounces, bounce_pct) — bounce_pct is the one double column, a
+    single division of two exact counts (IEEE-deterministic, oracle-
+    safe).
+
+    Scale shape: one shuffle on user_id for the island pass, one
+    map-side-combinable aggregation per (user, session), one final
+    small aggregation on day_id — the same two-exchange plan
+    sessionization itself needs; no window over the hot day key."""
+    from pyspark.sql.window import Window
+
+    from kelos_on_kafka_spark.operators.windowing import epoch_us
+
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("__ts_us").asc(), F.col(id_col).asc()
+    )
+    base = events.select(
+        F.col(user_col), F.col(id_col), epoch_us(ts_col).alias("__ts_us")
+    )
+    flagged = base.withColumn(
+        "__new",
+        F.when(
+            F.lag("__ts_us").over(w).isNull()
+            | (F.col("__ts_us") - F.lag("__ts_us").over(w) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sessions = flagged.groupBy(user_col, "__sid").agg(
+        F.min("__ts_us").alias("__start_us"),
+        F.count(F.lit(1)).alias("__n_events"),
+    )
+    return (
+        sessions.groupBy(
+            F.expr("__start_us div 86400000000").alias("day_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("__n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_pct",
+            F.col("n_bounces").cast("double")
+            / F.col("n_sessions").cast("double"),
+        )
+    )

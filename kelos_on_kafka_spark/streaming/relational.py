@@ -167,3 +167,50 @@ def stream_interval_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how)
+
+def stream_chained_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    pane: str = "10 minutes",
+    coarse: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """CHAINED stateful aggregation in one streaming query — the
+    continuous-rollup shape (fine panes feeding a coarse rollup without
+    an intermediate table): per-(pane, key) counts, then a second
+    event-time window over the pane results (keyed on
+    ``window_time(win)``, the Spark >= 3.4 multi-stateful-operator
+    path) producing per-(coarse window, key) pane statistics —
+    (window_start, window_end, key, n_panes, max_pane_count,
+    sum_pane_count).  Both stages are watermark-driven append-mode
+    aggregations; state is one open window per key per stage.
+
+    At scale this halves the scan/shuffle cost of maintaining a
+    second granularity: the coarse rollup consumes the fine
+    aggregation's (tiny) output inside the same query plan instead of
+    re-reading the raw stream."""
+    fine = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), pane).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("pane_count"))
+    )
+    coarse_df = (
+        fine.groupBy(
+            F.window(F.window_time("win"), coarse).alias("cwin"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_panes"),
+            F.max("pane_count").alias("max_pane_count"),
+            F.sum("pane_count").alias("sum_pane_count"),
+        )
+    )
+    return coarse_df.select(
+        F.col("cwin.start").alias("window_start"),
+        F.col("cwin.end").alias("window_end"),
+        F.col(key_col),
+        "n_panes",
+        "max_pane_count",
+        F.col("sum_pane_count").cast("long").alias("sum_pane_count"),
+    )

@@ -77,6 +77,12 @@ def test_relational_queries_have_no_python_stage(spark):
         "contamination",
         "top_terms",
         "funnel_dropoff",
+        "bigram_rarity",
+        "incremental_dedup",
+        "event_gaps",
+        "bounce_rate",
+        "cluster_sizes",
+        "value_drift",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name

@@ -1,0 +1,244 @@
+"""Round-5 operators: bigram LM rarity, incremental snapshot dedup,
+gap/outage detection, sessionized bounce rate, k-means assignment, and
+distribution drift — semantics pinned on hand-computed fixtures (oracle
+parity is covered separately by tests/test_entry_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bigram_rarity_hand_computed(spark):
+    from kelos_on_kafka_spark.operators.lm import bigram_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),      # bigrams: "a b", "b c"
+            (2, "a b"),        # bigram:  "a b"
+            (3, "x"),          # no bigrams -> excluded
+            (4, "  a   b  "),  # whitespace-normalized: "a b"
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in bigram_rarity(docs).collect()
+    }
+    # corpus counts: "a b" x3, "b c" x1
+    assert set(got) == {1, 2, 4}
+    assert (got[1].n_bigrams, got[1].min_bigram_freq,
+            got[1].sum_bigram_freq) == (2, 1, 4)
+    assert got[1].mean_bigram_freq == 2.0
+    assert (got[2].n_bigrams, got[2].min_bigram_freq) == (1, 3)
+    assert (got[4].n_bigrams, got[4].min_bigram_freq) == (1, 3)
+
+
+def test_incremental_dedup_statuses(spark):
+    from kelos_on_kafka_spark.operators.dedup import incremental_dedup
+
+    new = spark.createDataFrame(
+        [(10, "seen-text"), (11, "fresh"), (12, "dup"), (13, "dup")],
+        "doc_id long, text string",
+    )
+    old = spark.createDataFrame(
+        [("x",)], "text string"
+    ).select(F.md5("text").alias("digest")).union(
+        spark.createDataFrame([("seen-text",)], "text string").select(
+            F.md5("text").alias("digest")
+        )
+    )
+    got = {r.doc_id: r.status for r in incremental_dedup(new, old).collect()}
+    assert got == {10: "seen", 11: "keep", 12: "keep", 13: "batch_dup"}
+
+
+def test_incremental_dedup_kept_set_equals_global_exact_dedup(spark):
+    """The kept rows of (old ∪ new) exact dedup restricted to the new
+    batch == incremental keep set (digests already old are 'seen')."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        exact_dup_groups,
+        incremental_dedup,
+    )
+
+    old_docs = spark.createDataFrame(
+        [(i, f"t{i % 5}") for i in range(10)], "doc_id long, text string"
+    )
+    new_docs = spark.createDataFrame(
+        [(100 + i, f"t{i % 8}") for i in range(16)],
+        "doc_id long, text string",
+    )
+    old_digests = old_docs.select(F.md5("text").alias("digest"))
+    inc = incremental_dedup(new_docs, old_digests)
+    kept_inc = {r.doc_id for r in inc.where(F.col("status") == "keep").collect()}
+    # global exact dedup over old+new, keepers restricted to new ids
+    union = old_docs.unionByName(new_docs)
+    keepers = {
+        r.keeper_id
+        for r in exact_dup_groups(union).collect()
+        if r.keeper_id >= 100
+    }
+    assert kept_inc == keepers
+
+
+def test_detect_gaps_strict_boundary(spark):
+    from kelos_on_kafka_spark.operators.temporal import detect_gaps
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0),
+            (2, 1, 10_000_000),   # exactly min_gap after -> NOT a gap
+            (3, 1, 30_000_001),   # 20.000001s after -> gap
+            (4, 2, 0),            # single event -> no gap rows
+        ],
+        "event_id long, user_id long, ts_us long",
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    got = detect_gaps(ev, "ts", ["user_id"], 10_000_000).collect()
+    assert [(r.user_id, r.gap_start_us, r.gap_end_us, r.gap_us) for r in got] == [
+        (1, 10_000_000, 30_000_001, 20_000_001)
+    ]
+
+
+def test_bounce_rate_day_attribution(spark):
+    from kelos_on_kafka_spark.operators.webtext import bounce_rate
+
+    DAY = 86_400_000_000
+    ev = spark.createDataFrame(
+        [
+            # user 1, day 0: two events 10 min apart -> 1 session, no bounce
+            (1, 1, 0),
+            (2, 1, 600_000_000),
+            # user 1, day 0: later single event (>30 min) -> bounce
+            (3, 1, 3 * 3_600_000_000),
+            # user 2: session STARTS on day 0, second event on day 1 ->
+            # counts toward day 0 only
+            (4, 2, DAY - 60_000_000),
+            (5, 2, DAY + 60_000_000),
+        ],
+        "event_id long, user_id long, ts_us long",
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("ts_us").alias("ts")
+    )
+    got = {r.day_id: r for r in bounce_rate(ev).collect()}
+    assert set(got) == {0}
+    assert got[0].n_sessions == 3 and got[0].n_bounces == 1
+    assert got[0].bounce_pct == pytest.approx(1 / 3)
+
+
+def test_kmeans_assign_matches_ivf_quantizer(spark):
+    """kmeans_assign's cell per vector == the cell ivf_topk's corpus
+    assignment computes (same quantizer, same tie-break)."""
+    import numpy as np
+
+    from kelos_on_kafka_spark.operators.similarity import (
+        cluster_sizes,
+        kmeans_assign,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = kmeans_assign(emb, n_cells=4)
+    got = {r.vec_id: r.cell_id for r in assigned.collect()}
+    # every vector assigned exactly once; centroid vectors map to
+    # themselves (cosine 1.0 with deterministic tie-break)
+    assert len(got) == 40
+    for i in range(4):
+        assert got[i] == i
+    sizes = {r.cell_id: r.n_vectors for r in cluster_sizes(emb, 4).collect()}
+    assert sum(sizes.values()) == 40
+
+
+def test_distribution_drift_clamps_and_shares(spark):
+    from kelos_on_kafka_spark.plans.maintenance import distribution_drift
+
+    a = spark.createDataFrame(
+        [(-5.0,), (0.0,), (15.0,), (999.0,)], "v double"
+    )
+    b = spark.createDataFrame([(5.0,), (None,)], "v double")
+    got = {
+        r.bucket_id: r
+        for r in distribution_drift(a, b, "v", 0.0, 100.0, 10).collect()
+    }
+    # -5 clamps to bucket 0, 999 clamps to bucket 9; NULL dropped
+    assert got[0].n_a == 2 and got[0].n_b == 1
+    assert got[1].n_a == 1 and got[1].n_b == 0
+    assert got[9].n_a == 1
+    assert got[0].share_a == pytest.approx(0.5)
+    assert got[0].share_b == pytest.approx(1.0)
+    assert got[1].share_b == 0.0
+
+
+def test_stream_chained_agg_matches_batch_double_grouping(spark, tmp_path):
+    """The chained two-stage streaming rollup (real stream, two
+    stateful operators) equals the batch pane->hour double grouping."""
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_chained_window_agg,
+    )
+
+    BASE = 1_700_000_000
+    rows = [
+        (i, BASE + (i * 137) % 7200, ("a", "b")[i % 2]) for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, sec long, event_type string"
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    )
+    src = str(tmp_path / f"chain_{uuid.uuid4().hex[:8]}")
+    ev.repartitionByRange(3, "ts").sortWithinPartitions(
+        "ts", "event_id"
+    ).write.parquet(f"{src}/data")
+    spark.createDataFrame(
+        [(999_999, BASE + 40 * 3600, "a")],
+        "event_id long, sec long, event_type string",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "event_type"
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_chained_window_agg(
+        stream, pane="10 minutes", coarse="1 hour",
+        watermark="14400 seconds",
+    )
+    name = f"chain_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.table(name).where(
+        F.unix_micros("window_start")
+        < (BASE + 30 * 3600) * 1_000_000
+    )
+    got = sorted(
+        (r.window_start, r.event_type, r.n_panes, r.max_pane_count,
+         r.sum_pane_count)
+        for r in res.collect()
+    )
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .groupBy(
+            F.window(
+                F.col("w.start") + F.expr("INTERVAL 5 minutes"), "1 hour"
+            ).alias("cw"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_panes"),
+            F.max("pc").alias("mx"),
+            F.sum("pc").cast("long").alias("sm"),
+        )
+    )
+    want = sorted(
+        (r.cw.start, r.event_type, r.n_panes, r.mx, r.sm)
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
