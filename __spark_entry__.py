@@ -2610,6 +2610,65 @@ def q_stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (operators/chunking.py):
+    64-token chunks, stride 48; chunk text leaves the plan only as an
+    md5 fingerprint."""
+    from kelos_on_kafka_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )
+
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (chunking.pack_sequences):
+    docs laid end-to-end per source shard, cut every 256 tokens; each
+    doc reports (seq_id, seq_offset) of its first token."""
+    from kelos_on_kafka_spark.operators.chunking import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), max_tokens=256, part_col="source"
+    )
+
+
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (maintenance.scd2_apply): customer
+    mktsegment as the open dimension (valid from epoch 0), order
+    priorities as the change batch keyed by custkey — chained versions
+    per key, MAX_LONG-open rows."""
+    from kelos_on_kafka_spark.plans.maintenance import scd2_apply
+
+    cur = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(0).cast("long").alias("valid_from_us"),
+    )
+    ch = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderpriority").alias("attr"),
+        windowing.epoch_us("o_orderdate").alias("ts_us"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    return scd2_apply(cur, ch)
+
+
+def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (maintenance.cdc_compact): events as a CDC
+    stream per user — last op wins (ts, id tiebreak), 'error' as the
+    tombstone op; one row per live user."""
+    from kelos_on_kafka_spark.plans.maintenance import cdc_compact
+
+    return cdc_compact(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        delete_predicate=F.col("event_type") == "error",
+        payload_cols=["value"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2622,6 +2681,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new query at the end."""
     return {
         # --- NEW in round 5 (never driver-gated) ---
+        "doc_chunks": q_doc_chunks,
+        "seq_packing": q_seq_packing,
+        "scd2_dim": q_scd2_dim,
+        "cdc_state": q_cdc_state,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2677,12 +2740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
         "domain_stats": q_domain_stats,
+        # --- behind the gate from here (position > 50): all have a
+        # committed driver-green row and stay mirror-guarded ---
         "domain_cap": q_domain_cap,
         "span_dedup": q_span_dedup,
         "span_clean": q_span_clean,
         "props_extract": q_props_extract,
-        # --- behind the gate from here (position > 50): all have a
-        # committed driver-green row and stay mirror-guarded ---
         "weighted_strat_cap": q_weighted_strat_cap,
         "norm_dedup": q_norm_dedup,
         "cube_events": q_cube_events,
@@ -2738,6 +2801,86 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t, len(t) AS n,
+                     unnest(generate_series(1, greatest(len(t), 1), 48))
+                       AS s
+              FROM toks
+            )
+            SELECT doc_id,
+                   (s - 1) // 48 AS chunk_idx,
+                   s AS start_tok,
+                   least(64, n - s + 1) AS n_tokens,
+                   md5(array_to_string(t[s:s+63], ' ')) AS chunk_md5
+            FROM idx
+        """,
+        "seq_packing": """
+            WITH base AS (
+              SELECT source AS part, doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT part, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY part ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS cum_prev
+              FROM base
+            )
+            SELECT part, doc_id, n_tokens,
+                   cum_prev // 256 AS seq_id,
+                   cum_prev % 256 AS seq_offset
+            FROM c
+        """,
+        "scd2_dim": """
+            WITH ch AS (
+              SELECT o_custkey AS key, o_orderpriority AS attr,
+                     epoch_us(o_orderdate) AS ts,
+                     o_orderkey AS cid
+              FROM orders
+            ), nv AS (
+              SELECT key, attr, ts AS valid_from_us,
+                     coalesce(lead(ts) OVER (PARTITION BY key
+                                             ORDER BY ts, cid),
+                              9223372036854775807) AS valid_to_us,
+                     lead(ts) OVER (PARTITION BY key
+                                    ORDER BY ts, cid) IS NULL
+                       AS is_current
+              FROM ch
+            ), fc AS (
+              SELECT key, min(ts) AS first_ts FROM ch GROUP BY key
+            ), cur AS (
+              SELECT c_custkey AS key, c_mktsegment AS attr,
+                     CAST(0 AS BIGINT) AS valid_from_us,
+                     coalesce(fc.first_ts, 9223372036854775807)
+                       AS valid_to_us,
+                     fc.first_ts IS NULL AS is_current
+              FROM customer LEFT JOIN fc ON c_custkey = fc.key
+            )
+            SELECT * FROM cur
+            UNION ALL
+            SELECT * FROM nv
+        """,
+        "cdc_state": """
+            WITH r AS (
+              SELECT user_id AS key, event_id AS id,
+                     epoch_us(ts) AS ts_us, value,
+                     event_type = 'error' AS is_del,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC
+                     ) AS rn
+              FROM events
+            )
+            SELECT key, id, ts_us, value
+            FROM r WHERE rn = 1 AND NOT is_del
+        """,
         "bigram_rarity": """
             WITH toks AS (
               SELECT doc_id,

@@ -225,6 +225,10 @@ def main() -> None:
         "bounce_rate",
         "cluster_sizes",
         "value_drift",
+        "doc_chunks",
+        "seq_packing",
+        "scd2_dim",
+        "cdc_state",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -58,7 +58,9 @@ def bigram_rarity(
     cheap rarity signal; ``mean_bigram_freq`` is the smooth score to
     threshold on.  Documents with fewer than 2 tokens are excluded
     (they have no bigrams to score)."""
-    grams = docs.select(
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    grams = fan_out(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_bigrams(text_col)).alias("gram"),
     ).where(F.col("gram") != "")

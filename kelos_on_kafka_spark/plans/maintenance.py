@@ -244,3 +244,109 @@ def distribution_drift(
             ),
         )
     )
+
+
+MAX_LONG = (1 << 63) - 1
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key_col: str = "key",
+    attr_col: str = "attr",
+    ts_col: str = "ts_us",
+    change_id_col: str = "change_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: apply a batch of
+    attribute changes to a versioned dimension.  ``current`` holds the
+    dimension's OPEN rows (key, attr, valid_from_us); ``changes`` holds
+    (key, attr, ts_us, change_id).  Returns the full new version table
+    (key, attr, valid_from_us, valid_to_us, is_current):
+
+    * a changed key's old open row closes at its FIRST change ts;
+    * multiple changes to one key in the batch chain — each version's
+      valid_to is the next change's ts (ordered by ts, change_id);
+    * unchanged keys pass through open; keys new in ``changes`` simply
+      start their history.
+
+    Open rows use valid_to_us = MAX_LONG (not NULL): a NULL in an
+    int64 output column degrades to float64 in pandas on BOTH engines
+    and poisons byte-strict comparison (the session_assign dtype
+    lesson) — and range predicates (`valid_to > ts`) work unchanged.
+
+    Scale shape: one shuffle of each side on the key; the change
+    chaining is a per-key window over the (tiny) change batch, never
+    over the dimension."""
+    ch = changes.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("__ts"),
+        F.col(change_id_col).alias("__cid"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy("__ts", "__cid")
+    new_versions = ch.select(
+        "key",
+        "attr",
+        F.col("__ts").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("__ts").over(w), F.lit(MAX_LONG)
+        ).alias("valid_to_us"),
+        F.lead("__ts").over(w).isNull().alias("is_current"),
+    )
+    first_change = ch.groupBy("key").agg(F.min("__ts").alias("__first_ts"))
+    cur = current.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col("valid_from_us"),
+    )
+    closed_or_open = cur.join(first_change, "key", "left").select(
+        "key",
+        "attr",
+        "valid_from_us",
+        F.coalesce(F.col("__first_ts"), F.lit(MAX_LONG)).alias(
+            "valid_to_us"
+        ),
+        F.col("__first_ts").isNull().alias("is_current"),
+    )
+    return closed_or_open.unionByName(new_versions)
+
+
+def cdc_compact(
+    changelog: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    delete_predicate,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Materialize the current state of a keyed changelog: the LAST
+    operation per key (by event time, id tiebreak) wins; keys whose
+    last operation satisfies ``delete_predicate`` (a Column) emit no
+    row — the upsert/delete compaction a CDC consumer runs to turn a
+    change stream into a table snapshot.  Returns one row per live
+    key: (key, id, ts_us, payloads...).
+
+    Scale shape: one shuffle on the key + per-key window ranking (the
+    same plan as streaming dedup's batch oracle); per-key change
+    volume bounds the sort, and payload columns ride the single
+    shuffle untouched."""
+    from kelos_on_kafka_spark.operators.windowing import epoch_us
+    from pyspark.sql.window import Window
+
+    base = changelog.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("id"),
+        epoch_us(ts_col).alias("ts_us"),
+        delete_predicate.alias("__is_delete"),
+        *[F.col(c) for c in payload_cols],
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts_us").desc(), F.col("id").desc()
+    )
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.where((F.col("__rn") == 1) & (~F.col("__is_delete")))
+        .select("key", "id", "ts_us", *payload_cols)
+    )

@@ -83,6 +83,10 @@ def test_relational_queries_have_no_python_stage(spark):
         "bounce_rate",
         "cluster_sizes",
         "value_drift",
+        "doc_chunks",
+        "seq_packing",
+        "scd2_dim",
+        "cdc_state",
     ]:
         plan = _plan(entry_mod.queries()[name](spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name

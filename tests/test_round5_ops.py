@@ -169,6 +169,113 @@ def test_distribution_drift_clamps_and_shares(spark):
     assert got[1].share_b == 0.0
 
 
+def test_chunk_documents_hand_computed(spark):
+    from kelos_on_kafka_spark.operators.chunking import chunk_documents
+
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_md5)
+        for r in chunk_documents(
+            docs, chunk_tokens=3, stride=2
+        ).collect()
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # doc 1 (7 tokens): starts 1,3,5,7 -> chunks abc cde efg g
+    assert got == [
+        (1, 0, 1, 3, md5("a b c")),
+        (1, 1, 3, 3, md5("c d e")),
+        (1, 2, 5, 3, md5("e f g")),
+        (1, 3, 7, 1, md5("g")),
+        (2, 0, 1, 1, md5("x")),
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(docs, stride=0)
+
+
+def test_pack_sequences_hand_computed(spark):
+    from kelos_on_kafka_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w " * 6, "s1"),    # 6 tokens (trailing space trimmed)
+            (2, "w " * 3, "s1"),    # 3 tokens
+            (3, "w " * 5, "s1"),    # 5 tokens
+            (4, "w " * 2, "s2"),    # other shard packs independently
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.part, r.n_tokens, r.seq_id, r.seq_offset)
+        for r in pack_sequences(docs, max_tokens=8).collect()
+    }
+    # shard s1 cumulative starts: doc1@0, doc2@6, doc3@9
+    assert got[1] == ("s1", 6, 0, 0)
+    assert got[2] == ("s1", 3, 0, 6)
+    assert got[3] == ("s1", 5, 1, 1)
+    assert got[4] == ("s2", 2, 0, 0)
+
+
+def test_scd2_apply_chains_versions(spark):
+    from kelos_on_kafka_spark.plans.maintenance import MAX_LONG, scd2_apply
+
+    cur = spark.createDataFrame(
+        [(1, "gold", 0), (2, "silver", 0), (3, "bronze", 5)],
+        "key long, attr string, valid_from_us long",
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "platinum", 100, 10),
+            (1, "diamond", 200, 11),   # chained second change
+            (4, "new", 50, 12),        # key unseen in current
+        ],
+        "key long, attr string, ts_us long, change_id long",
+    )
+    rows = sorted(
+        map(tuple, scd2_apply(cur, ch).collect()),
+    )
+    assert rows == sorted(
+        [
+            (1, "gold", 0, 100, False),
+            (1, "platinum", 100, 200, False),
+            (1, "diamond", 200, MAX_LONG, True),
+            (2, "silver", 0, MAX_LONG, True),
+            (3, "bronze", 5, MAX_LONG, True),
+            (4, "new", 50, MAX_LONG, True),
+        ]
+    )
+
+
+def test_cdc_compact_last_op_wins_and_tombstones(spark):
+    from kelos_on_kafka_spark.plans.maintenance import cdc_compact
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 10, "set", 1.0),
+            (2, 1, 20, "set", 2.0),    # last op for key 1 -> survives
+            (3, 2, 10, "set", 3.0),
+            (4, 2, 30, "del", 0.0),    # tombstone -> key 2 gone
+            (5, 3, 10, "del", 0.0),
+            (6, 3, 10, "set", 4.0),    # same ts: higher id wins
+        ],
+        "event_id long, user_id long, ts_us long, op string, value double",
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("ts_us").alias("ts"),
+        "op", "value",
+    )
+    got = {
+        r.key: (r.id, r.ts_us, r.value)
+        for r in cdc_compact(
+            ev, "user_id", "ts", "event_id",
+            F.col("op") == "del", ["value"],
+        ).collect()
+    }
+    assert got == {1: (2, 20, 2.0), 3: (6, 10, 4.0)}
+
+
 def test_stream_chained_agg_matches_batch_double_grouping(spark, tmp_path):
     """The chained two-stage streaming rollup (real stream, two
     stateful operators) equals the batch pane->hour double grouping."""
