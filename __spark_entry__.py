@@ -2669,6 +2669,85 @@ def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-pane CDC compaction
+    (relational.stream_cdc_pane_state): last op per (12h pane, user)
+    wins, 'error' tombstones emit nothing, pane delta emitted on
+    watermark close — the upsert feed a downstream MERGE applies.
+    Staging = the q_stream_topn distributed pattern."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_cdc_pane_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+        "user_id",
+        (F.col("event_type") == "error").alias("is_del"),
+        "value",
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    span_s = int((row["hi"] - row["lo"]) // 1_000_000) + 43200
+    sentinel_sec = int(row["hi"] // 1_000_000) + span_s + 4 * 43200
+    src = tempfile.mkdtemp(prefix="scdc_src_")
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data.parquet")
+    )
+    spark.createDataFrame(
+        [(999_999_999, sentinel_sec, 0, False, 0.0)],
+        "event_id long, sec long, user_id long, is_del boolean, value double",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"),
+        "user_id", "is_del", "value",
+    ).coalesce(1).write.parquet(f"{src}/sentinel.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "is_del boolean, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/*.parquet")
+    )
+    out = stream_cdc_pane_state(
+        stream,
+        "user_id",
+        "ts",
+        "event_id",
+        "is_del",
+        ["value"],
+        pane="12 hours",
+        watermark=f"{span_s} seconds",
+    )
+    name = f"scdc_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(
+        F.unix_micros("window_start")
+        < F.lit((sentinel_sec - 43200) * 1_000_000)
+    ).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "user_id",
+        "id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2685,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": q_seq_packing,
         "scd2_dim": q_scd2_dim,
         "cdc_state": q_cdc_state,
+        "stream_cdc_state": q_stream_cdc_state,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2739,9 +2819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bloom_dedup": q_stream_bloom_dedup,
         "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
-        "domain_stats": q_domain_stats,
         # --- behind the gate from here (position > 50): all have a
         # committed driver-green row and stay mirror-guarded ---
+        "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "span_dedup": q_span_dedup,
         "span_clean": q_span_clean,
@@ -2801,6 +2881,22 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "stream_cdc_state": """
+            WITH r AS (
+              SELECT epoch_us(ts) // 43200000000 AS pane,
+                     user_id, event_id, epoch_us(ts) AS ts_us, value,
+                     event_type = 'error' AS is_del,
+                     row_number() OVER (
+                       PARTITION BY epoch_us(ts) // 43200000000, user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC
+                     ) AS rn
+              FROM events
+            )
+            SELECT pane * 43200000000 AS window_start_us,
+                   pane * 43200000000 + 43200000000 AS window_end_us,
+                   user_id, event_id AS id, ts_us, value
+            FROM r WHERE rn = 1 AND NOT is_del
+        """,
         "doc_chunks": """
             WITH toks AS (
               SELECT doc_id,

@@ -229,6 +229,7 @@ def main() -> None:
         "seq_packing",
         "scd2_dim",
         "cdc_state",
+        "stream_cdc_state",
     ]
     total = kelos_secs
     for name in bench_queries:

@@ -214,3 +214,48 @@ def stream_chained_window_agg(
         "max_pane_count",
         F.col("sum_pane_count").cast("long").alias("sum_pane_count"),
     )
+
+def stream_cdc_pane_state(
+    changelog: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    delete_col: str,
+    payload_cols: list[str],
+    pane: str = "1 hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-pane CDC compaction — the incremental twin of
+    ``plans.maintenance.cdc_compact``: within each event-time pane,
+    the LAST operation per key (by event time, id tiebreak) wins and
+    is emitted when the watermark closes the pane; keys whose last
+    in-pane op is a delete (``delete_col`` true) emit nothing.  The
+    output is the per-pane upsert DELTA feed a downstream MERGE
+    applies — (window_start, window_end, key, id, ts, payloads...).
+
+    State is one candidate row per open (pane, key): the arg-max is a
+    declarative ``max_by`` over a (ts, id) struct inside the windowed
+    aggregation, so Spark's own stateful agg owns the bookkeeping —
+    no applyInPandasWithState, no Python in the plan."""
+    base = changelog.withWatermark(ts_col, watermark)
+    last = base.groupBy(
+        F.window(F.col(ts_col), pane).alias("win"), F.col(key_col)
+    ).agg(
+        F.max_by(
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col(ts_col).alias("ts"),
+                F.col(delete_col).alias("is_del"),
+                *[F.col(c) for c in payload_cols],
+            ),
+            F.struct(F.col(ts_col), F.col(id_col)),
+        ).alias("last")
+    )
+    return last.where(~F.col("last.is_del")).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        F.col(key_col),
+        F.col("last.id").alias("id"),
+        F.col("last.ts").alias("ts"),
+        *[F.col(f"last.{c}").alias(c) for c in payload_cols],
+    )

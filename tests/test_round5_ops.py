@@ -276,6 +276,71 @@ def test_cdc_compact_last_op_wins_and_tombstones(spark):
     assert got == {1: (2, 20, 2.0), 3: (6, 10, 4.0)}
 
 
+def test_stream_cdc_pane_state_semantics(spark, tmp_path):
+    """Per-pane CDC delta on a real stream: last op per (pane, key)
+    wins, a tombstone suppresses its pane's row but a later pane's set
+    re-emits the key."""
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_cdc_pane_state,
+    )
+
+    BASE = 1_700_006_400  # pane-aligned (div 3600)
+    rows = [
+        # pane 0: key 1 set twice (last wins), key 2 set then deleted
+        (1, 1, 10, False, 1.0),
+        (2, 1, 20, False, 2.0),
+        (3, 2, 10, False, 3.0),
+        (4, 2, 30, True, 0.0),
+        # pane 1: key 2 set again -> re-emitted
+        (5, 2, 3700, False, 5.0),
+    ]
+    ev = spark.createDataFrame(
+        [(e, k, BASE + s, d, v) for e, k, s, d, v in rows],
+        "event_id long, key long, sec long, is_del boolean, value double",
+    ).select(
+        "event_id", "key", F.timestamp_seconds("sec").alias("ts"),
+        "is_del", "value",
+    )
+    src = str(tmp_path / f"scdc_{uuid.uuid4().hex[:8]}")
+    ev.coalesce(1).sortWithinPartitions("ts", "event_id").write.parquet(
+        f"{src}/data"
+    )
+    spark.createDataFrame(
+        [(99, BASE + 40 * 3600, 0, False, 0.0)],
+        "event_id long, sec long, key long, is_del boolean, value double",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"),
+        "key", "is_del", "value",
+    ).coalesce(1).write.parquet(f"{src}/sentinel")
+    stream = spark.readStream.schema(
+        "event_id long, key long, ts timestamp, is_del boolean, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_cdc_pane_state(
+        stream, "key", "ts", "event_id", "is_del", ["value"],
+        pane="1 hour", watermark="14400 seconds",
+    )
+    name = f"scdc_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (int(r.window_start.timestamp()) - BASE, r.key, r.id, r.value)
+        for r in spark.table(name).collect()
+        if int(r.window_start.timestamp()) < BASE + 30 * 3600
+    )
+    assert got == [
+        (0, 1, 2, 2.0),       # last set in pane 0 wins
+        (3600, 2, 5, 5.0),    # key 2 tombstoned in pane 0, back in pane 1
+    ]
+
+
 def test_stream_chained_agg_matches_batch_double_grouping(spark, tmp_path):
     """The chained two-stage streaming rollup (real stream, two
     stateful operators) equals the batch pane->hour double grouping."""
