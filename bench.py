@@ -229,7 +229,10 @@ def main() -> None:
         "seq_packing",
         "scd2_dim",
         "cdc_state",
-        "stream_cdc_state",
+        # stream_cdc_state is NOT timed here: like the other staged
+        # streaming driver queries (stream_topn, stream_funnel, ...)
+        # its wall-clock is dominated by harness staging (parquet
+        # write + availableNow micro-batch startup), not operator cost
     ]
     total = kelos_secs
     for name in bench_queries:
