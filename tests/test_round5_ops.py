@@ -341,6 +341,97 @@ def test_stream_cdc_pane_state_semantics(spark, tmp_path):
     ]
 
 
+def test_stream_cdc_resume_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill/resume for the streaming CDC op: phase 1 processes half the
+    files into a parquet sink with a checkpoint; phase 2 restarts from
+    the same checkpoint with the rest — the final delta table has no
+    duplicate (pane, key) rows and equals the batch per-pane ranking."""
+    import uuid
+
+    from pyspark.sql.window import Window as Wd
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_cdc_pane_state,
+    )
+
+    BASE = 1_700_006_400
+    rows = [
+        (i, i % 5, BASE + (i * 311) % 7200, i % 7 == 0, float(i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, key long, sec long, is_del boolean, value double"
+    ).select(
+        "event_id", "key", F.timestamp_seconds("sec").alias("ts"),
+        "is_del", "value",
+    )
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    lo, hi = BASE, BASE + 7200
+    mid = BASE + 3600
+    ev.where(F.unix_micros("ts") < mid * 1_000_000).coalesce(1).write.parquet(
+        f"{src}/f000"
+    )
+
+    def run_phase():
+        stream = spark.readStream.schema(
+            "event_id long, key long, ts timestamp, is_del boolean, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+        out = stream_cdc_pane_state(
+            stream, "key", "ts", "event_id", "is_del", ["value"],
+            pane="30 minutes", watermark="7200 seconds",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_phase()
+    # phase 2: rest of the data + a far-future sentinel to close panes
+    ev.where(F.unix_micros("ts") >= mid * 1_000_000).coalesce(1).write.parquet(
+        f"{src}/f001"
+    )
+    spark.createDataFrame(
+        [(9_999, 0, hi + 40 * 3600, False, 0.0)],
+        "event_id long, key long, sec long, is_del boolean, value double",
+    ).select(
+        "event_id", "key", F.timestamp_seconds("sec").alias("ts"),
+        "is_del", "value",
+    ).coalesce(1).write.parquet(f"{src}/f002")
+    run_phase()
+
+    got_rows = [
+        r
+        for r in spark.read.parquet(sink).collect()
+        if int(r.window_start.timestamp()) < hi + 3600
+    ]
+    pane_key = [(r.window_start, r.key) for r in got_rows]
+    assert len(pane_key) == len(set(pane_key))  # exactly-once
+    got = sorted(
+        (int(r.window_start.timestamp()), r.key, r.id, r.value)
+        for r in got_rows
+    )
+    w = Wd.partitionBy("pane", "key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = sorted(
+        (r.pane * 1800, r.key, r.event_id, r.value)
+        for r in ev.withColumn(
+            "pane", F.expr("unix_micros(ts) div 1800000000")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (~F.col("is_del")))
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stream_chained_agg_matches_batch_double_grouping(spark, tmp_path):
     """The chained two-stage streaming rollup (real stream, two
     stateful operators) equals the batch pane->hour double grouping."""

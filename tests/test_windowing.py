@@ -84,6 +84,75 @@ def test_assign_session_ids_matches_builtin(spark, boundary_df):
     ]
 
 
+def test_session_boundary_property_random_with_exact_collisions(spark):
+    """Randomized parity incl. PLANTED exact-boundary gaps: Spark's
+    session_window vs the strict-> islands formulation on DuckDB must
+    agree on every session's (start, n_events) — the class of input the
+    testdata never produces (sub-second timestamps) but real data can."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        # gaps in units of GAP_S/2 seconds: 0, exactly GAP_S, multiples
+        steps=st.lists(
+            st.integers(min_value=0, max_value=5), min_size=1, max_size=12
+        )
+    )
+    def run(steps):
+        ts, rows = 0, []
+        for i, s in enumerate(steps):
+            ts += s * (GAP_S // 2) * US  # s==2 -> EXACT gap boundary
+            rows.append((1, 100 + i, ts))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts_us long"
+        ).select(
+            "user_id", "event_id", F.timestamp_micros("ts_us").alias("ts")
+        )
+        got = sorted(
+            (r["w"].start, r["n"])
+            for r in df.groupBy(
+                "user_id",
+                F.session_window("ts", f"{GAP_S} seconds").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(f"({u}, {e}, {t})" for u, e, t in rows)
+        want = con.execute(
+            f"""
+            WITH e(user_id, event_id, ts_us) AS (VALUES {vals}),
+            o AS (
+              SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS p FROM e
+            ), f AS (
+              SELECT user_id, ts_us,
+                     CASE WHEN p IS NULL OR ts_us - p > {GAP_S * US}
+                          THEN 1 ELSE 0 END AS ns FROM o
+            ), s AS (
+              SELECT user_id, ts_us,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f
+            )
+            SELECT min(ts_us) AS start_us, count(*) AS n
+            FROM s GROUP BY user_id, sid ORDER BY 1
+            """
+        ).fetchall()
+        con.close()
+        got_us = [
+            (int(w.timestamp() * 1_000_000), n) for w, n in got
+        ]
+        assert got_us == [(s, n) for s, n in want]
+
+    run()
+
+
 def test_oracle_islands_formulation_matches_builtin():
     """The strict-> islands SQL (the shape every static session oracle
     now uses) reproduces the builtin's boundary behavior on DuckDB."""
