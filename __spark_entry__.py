@@ -2748,6 +2748,17 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join
+    (dedup.ngram_jaccard_prefix_pairs, PPJoin/AllPairs family):
+    result-identical to the plain inverted-index join at t = 3/10 —
+    the lossless-pruning alternative to the df-cap; oracle is the
+    plain relational form."""
+    return dedup.ngram_jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_num=3, jaccard_den=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2765,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_dim": q_scd2_dim,
         "cdc_state": q_cdc_state,
         "stream_cdc_state": q_stream_cdc_state,
+        "jaccard_prefix": q_jaccard_prefix,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2818,9 +2830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_left": q_stream_interval_join_left,
         "stream_bloom_dedup": q_stream_bloom_dedup,
         "stream_dedup_exact": q_stream_dedup_exact,
-        "session_dynamic_gap": q_session_dynamic_gap,
         # --- behind the gate from here (position > 50): all have a
         # committed driver-green row and stay mirror-guarded ---
+        "session_dynamic_gap": q_session_dynamic_gap,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "span_dedup": q_span_dedup,
@@ -2881,6 +2893,34 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "jaccard_prefix": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh + sb.n_sh - inter AS union_n
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 10 * inter >= 3 * (sa.n_sh + sb.n_sh - inter)
+        """,
         "stream_cdc_state": """
             WITH r AS (
               SELECT epoch_us(ts) // 43200000000 AS pane,

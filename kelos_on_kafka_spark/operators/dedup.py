@@ -726,3 +726,119 @@ def incremental_dedup(
         .otherwise(F.lit("batch_dup"))
         .alias("status"),
     )
+
+
+def _prefix_candidates(
+    sh: DataFrame, jaccard_num: int, jaccard_den: int
+) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the prefix-filtered inverted
+    index: each doc indexes only its n - ceil(t*n) + 1 RAREST shingles
+    under the global (doc-freq, shingle) order, so hot boilerplate
+    shingles fall out of the join entirely.  Split out so tests can
+    measure the pruning (candidate count vs the full index join's pair
+    fanout) directly."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("df_sh").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .join(sizes, "doc_id")
+    )
+    # ceil(t*n) = (num*n + den - 1) div den — exact integers only
+    ceil_tn = F.expr(
+        f"(({jaccard_num} * n_sh) + {jaccard_den} - 1) div {jaccard_den}"
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n_sh") - ceil_tn + 1
+    ).select("doc_id", "shingle")
+    return (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    jaccard_num: int = 3,
+    jaccard_den: int = 10,
+) -> DataFrame:
+    """Exact shingle-set Jaccard join with PREFIX FILTERING (the
+    PPJoin/AllPairs candidate-pruning family, Xiao et al. WWW'08 /
+    Bayardo et al. WWW'07): result-IDENTICAL to the plain inverted-
+    index join at threshold ``jaccard_num/jaccard_den``, but the join
+    only touches each document's PREFIX — its ``n - ceil(t*n) + 1``
+    rarest shingles under a global (doc-freq, shingle) canonical order.
+    Any pair with J >= t must share a prefix shingle on BOTH sides
+    (for J >= t, |A∩B| >= ceil(t*|A|) and >= ceil(t*|B|)), so pruning
+    is lossless; candidates are then verified EXACTLY with an
+    array-intersect over the two full shingle sets.
+
+    Why this beats the df-cap at scale: the cap changes semantics
+    (pairs held together only by hot shingles vanish); the prefix
+    filter keeps exact semantics while shrinking the index join
+    superlinearly as t grows (t=0.5 indexes half of each doc; and the
+    rare-first order puts precisely the LOW-fanout shingles in the
+    index, so the candidate join's per-key row products stay small).
+    The threshold is a RATIONAL (num/den): ceil(t*n) is computed in
+    exact integer arithmetic — a float ceil can round the prefix a
+    token short and silently drop true pairs.
+
+    Returns (doc_a, doc_b, inter, union_n) with
+    den*inter >= num*union_n — identical columns and rows to
+    ``ngram_jaccard_pairs(min_jaccard_pct=100*t, max_doc_freq=inf)``."""
+    if not (0 < jaccard_num <= jaccard_den):
+        raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    sh = (
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    cand = _prefix_candidates(sh, jaccard_num, jaccard_den)
+    arrs = sh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("sh_arr"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_arr").alias("arr_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_arr").alias("arr_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))).cast(
+                "long"
+            ),
+        )
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .where(
+            jaccard_den * F.col("inter") >= jaccard_num * F.col("union_n")
+        )
+    )
+    return verified.select("doc_a", "doc_b", "inter", "union_n")
