@@ -2759,6 +2759,38 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed END-TO-END cleaning pipeline in one query — the
+    'switch your pipeline to this engine' story: Gopher-style quality
+    filtering (textstats.filter_verdicts) -> exact-dedup keepers
+    (dedup.exact_dup_groups) -> deterministic 50% sample
+    (sampling.deterministic_sample, portable md5 membership) ->
+    (doc_id, fingerprint, n_tokens).  Every stage is the SAME operator
+    the standalone queries gate, so the composition inherits their
+    oracles; the combined oracle chains the same SQL pieces."""
+    from kelos_on_kafka_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.join(
+        textstats.filter_verdicts(docs)
+        .where(F.col("keep"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    keepers = dedup.exact_dup_groups(kept).select(
+        F.col("keeper_id").alias("doc_id"), "fingerprint"
+    )
+    deduped = kept.join(keepers, "doc_id")
+    sampled = deterministic_sample(deduped, "doc_id", 0.5, seed=7)
+    return sampled.select(
+        "doc_id",
+        "fingerprint",
+        textstats.n_tokens("text").cast("long").alias("n_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2777,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_state": q_cdc_state,
         "stream_cdc_state": q_stream_cdc_state,
         "jaccard_prefix": q_jaccard_prefix,
+        "pipeline_clean": q_pipeline_clean,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2829,9 +2862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_interval_join_left": q_stream_interval_join_left,
         "stream_bloom_dedup": q_stream_bloom_dedup,
-        "stream_dedup_exact": q_stream_dedup_exact,
         # --- behind the gate from here (position > 50): all have a
         # committed driver-green row and stay mirror-guarded ---
+        "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
@@ -2893,6 +2926,28 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "pipeline_clean": f"""
+            WITH v AS ({_quality_verdicts_sql()}),
+            kept AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN v ON d.doc_id = v.doc_id
+              WHERE v.keep
+            ), k AS (
+              SELECT md5(text) AS fingerprint, min(doc_id) AS keeper
+              FROM kept GROUP BY 1
+            ), dd AS (
+              SELECT kept.doc_id, k.fingerprint, kept.text
+              FROM kept JOIN k ON kept.doc_id = k.keeper
+            )
+            SELECT doc_id, fingerprint,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM dd
+            WHERE cast(concat('0x', substr(md5(concat('7:',
+                    cast(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                  / 1152921504606846976.0 < 0.5
+        """,
         "jaccard_prefix": """
             WITH toks AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
