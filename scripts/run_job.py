@@ -39,8 +39,15 @@ def main() -> None:
             "dedup-stream",
             "dedup-verdict",
             "span-dedup",
+            "clean-pipeline",
         ],
         default="batch",
+    )
+    ap.add_argument(
+        "--sample-fraction",
+        type=float,
+        default=1.0,
+        help="clean-pipeline mode: deterministic keep fraction",
     )
     ap.add_argument(
         "--span-tokens",
@@ -162,6 +169,43 @@ def main() -> None:
                 .write.mode("overwrite")
                 .parquet(f"{args.output}/clean")
             )
+        spark.stop()
+        return
+
+    if args.mode == "clean-pipeline":
+        # the composed cleaning pipeline (same chain the driver gates
+        # as the pipeline_clean query): quality verdicts -> exact-dedup
+        # keepers -> deterministic sample; writes the clean corpus and
+        # the verdict table for audit
+        from kelos_on_kafka_spark.operators.dedup import exact_dup_groups
+        from kelos_on_kafka_spark.operators.sampling import (
+            deterministic_sample,
+        )
+        from kelos_on_kafka_spark.operators.textstats import (
+            filter_verdicts,
+        )
+
+        raw = spark.read.parquet(args.input)
+        docs = raw
+        if "doc_id" not in set(docs.schema.fieldNames()):
+            docs = raw.select(
+                F.abs(F.xxhash64("url")).alias("doc_id"), "text"
+            )
+        verdicts = filter_verdicts(docs)
+        verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+        kept = docs.join(
+            verdicts.where(F.col("keep")).select("doc_id"), "doc_id"
+        )
+        keepers = exact_dup_groups(kept).select(
+            F.col("keeper_id").alias("doc_id")
+        )
+        deduped = kept.join(keepers, "doc_id", "left_semi")
+        out = (
+            deterministic_sample(deduped, "doc_id", args.sample_fraction)
+            if args.sample_fraction < 1.0
+            else deduped
+        )
+        out.write.mode("overwrite").parquet(f"{args.output}/clean")
         spark.stop()
         return
 
