@@ -2791,6 +2791,27 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles: p50/p95 of ``value`` per
+    (event_type, UTC day) — the grouped form of value_percentiles
+    (same linear-interpolation definition on both engines, verified
+    bit-exact there).  At scale swap for approx_percentile per the
+    same note; the exact form is the oracle-checkable contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
+            "TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ)) div 86400000000"
+        ).alias("day_id"),
+        "value",
+    )
+    return ev.groupBy("event_type", "day_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2810,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc_state": q_stream_cdc_state,
         "jaccard_prefix": q_jaccard_prefix,
         "pipeline_clean": q_pipeline_clean,
+        "group_percentiles": q_group_percentiles,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2861,9 +2883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct": q_stream_distinct,
         "stream_interval_join": q_stream_interval_join,
         "stream_interval_join_left": q_stream_interval_join_left,
-        "stream_bloom_dedup": q_stream_bloom_dedup,
         # --- behind the gate from here (position > 50): all have a
         # committed driver-green row and stay mirror-guarded ---
+        "stream_bloom_dedup": q_stream_bloom_dedup,
         "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
         "domain_stats": q_domain_stats,
@@ -2926,6 +2948,14 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "group_percentiles": """
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day_id,
+                   count(*) AS n_events,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY 1, 2
+        """,
         "pipeline_clean": f"""
             WITH v AS ({_quality_verdicts_sql()}),
             kept AS (
