@@ -2812,6 +2812,79 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming silence/outage monitor (streaming/gap_stream.py):
+    closed gaps > 1h per user as they are observed + one censored
+    silence alert (gap_end_us = -1) per key when the watermark passes
+    last_ts + 4h.  Staging: sequential consecutive event-time files
+    (the funnel in-order contract — the operator is order-sensitive)
+    plus TWO sentinels (timeouts fire one batch after the watermark
+    that arms them)."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.gap_stream import (
+        stream_gap_monitor,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+        "user_id",
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    lo_us, hi_us = row["lo"], row["hi"]
+    span_s = int((hi_us - lo_us) // 1_000_000) + 3600
+    s1 = int(hi_us // 1_000_000) + span_s + 8 * 3600
+    s2 = s1 + span_s + 8 * 3600
+    src = tempfile.mkdtemp(prefix="sgap_src_")
+    n_files = 3
+    span_us = (hi_us - lo_us) // n_files + 1
+    for i in range(n_files):
+        part = ev.where(
+            (F.unix_micros("ts") >= lo_us + i * span_us)
+            & (F.unix_micros("ts") < lo_us + (i + 1) * span_us)
+        )
+        part.coalesce(1).sortWithinPartitions(
+            "ts", "event_id"
+        ).write.parquet(f"{src}/f{i:03d}")
+    for i, sec in enumerate([s1, s2]):
+        spark.createDataFrame(
+            [(999_999_990 + i, sec, -1)],
+            "event_id long, sec long, user_id long",
+        ).select(
+            "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(f"{src}/z{i}")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = stream_gap_monitor(
+        stream,
+        "user_id",
+        "ts",
+        min_gap_us=HOUR_US,
+        max_silence_us=4 * HOUR_US,
+        watermark_delay=f"{span_s} seconds",
+    )
+    name = f"sgap_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).where(F.col("key") >= 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """ORDERING IS LOAD-BEARING: the external driver's correctness gate
     records only the FIRST 50 dict entries, so queries that have never
@@ -2832,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "pipeline_clean": q_pipeline_clean,
         "group_percentiles": q_group_percentiles,
+        "stream_gap_monitor": q_stream_gap_monitor,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2882,9 +2956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topn": q_stream_topn,
         "stream_distinct": q_stream_distinct,
         "stream_interval_join": q_stream_interval_join,
-        "stream_interval_join_left": q_stream_interval_join_left,
         # --- behind the gate from here (position > 50): all have a
         # committed driver-green row and stay mirror-guarded ---
+        "stream_interval_join_left": q_stream_interval_join_left,
         "stream_bloom_dedup": q_stream_bloom_dedup,
         "stream_dedup_exact": q_stream_dedup_exact,
         "session_dynamic_gap": q_session_dynamic_gap,
@@ -2948,6 +3022,24 @@ def oracle_sql() -> dict[str, str]:
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).
+        "stream_gap_monitor": """
+            WITH o AS (
+              SELECT user_id AS key, epoch_us(ts) AS t,
+                     lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                     ) AS nx
+              FROM events
+            )
+            SELECT key, t AS gap_start_us, nx AS gap_end_us,
+                   nx - t AS gap_us
+            FROM o WHERE nx IS NOT NULL AND nx - t > 3600000000
+            UNION ALL
+            SELECT user_id AS key, max(epoch_us(ts)) AS gap_start_us,
+                   CAST(-1 AS BIGINT) AS gap_end_us,
+                   CAST(-1 AS BIGINT) AS gap_us
+            FROM events GROUP BY user_id
+        """,
         "group_percentiles": """
             SELECT event_type,
                    epoch_us(ts) // 86400000000 AS day_id,

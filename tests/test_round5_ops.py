@@ -359,6 +359,78 @@ def test_jaccard_prefix_prunes_hot_shingle_fanout(spark):
     assert got == want == []
 
 
+def test_stream_gap_monitor_closed_and_censored(spark, tmp_path):
+    """Hand fixture: closed gaps emit with exact bounds; a key that
+    goes silent emits ONE censored alert (gap_end_us = -1) at its last
+    event once the watermark passes last + max_silence; boundary gap
+    of exactly min_gap does NOT emit (strict >)."""
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.gap_stream import (
+        stream_gap_monitor,
+    )
+
+    BASE = 1_700_000_000
+    MIN_GAP = 10_000_000   # 10 s
+    rows = [
+        (1, 1, 0),
+        (2, 1, 10),           # exactly min_gap -> no gap (strict >)
+        (3, 1, 31),           # 21 s gap -> closed row
+        (4, 2, 5),            # single event -> censored only
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, BASE + s) for e, u, s in rows],
+        "event_id long, user_id long, sec long",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+    )
+    src = str(tmp_path / f"gap_{uuid.uuid4().hex[:8]}")
+    ev.coalesce(1).sortWithinPartitions("ts", "event_id").write.parquet(
+        f"{src}/f000"
+    )
+    for i, off in enumerate([40_000, 80_000]):  # two sentinels
+        spark.createDataFrame(
+            [(990 + i, BASE + off, -1)],
+            "event_id long, sec long, user_id long",
+        ).select(
+            "event_id", F.timestamp_seconds("sec").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(f"{src}/z{i}")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_gap_monitor(
+        stream, "user_id", "ts", min_gap_us=MIN_GAP,
+        max_silence_us=4 * MIN_GAP, watermark_delay="35000 seconds",
+    )
+    name = f"gap_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.key, r.gap_start_us - BASE * 1_000_000 if r.gap_us > 0
+         else r.gap_start_us - BASE * 1_000_000, r.gap_end_us
+         if r.gap_end_us < 0 else r.gap_end_us - BASE * 1_000_000,
+         r.gap_us)
+        for r in spark.table(name).where(F.col("key") >= 0).collect()
+    )
+    assert got == [
+        (1, 10_000_000, 31_000_000, 21_000_000),   # the closed gap
+        (1, 31_000_000, -1, -1),                   # key 1 went silent
+        (2, 5_000_000, -1, -1),                    # key 2 went silent
+    ]
+
+    # unbounded/misconfigured silence guard
+    with pytest.raises(ValueError, match="max_silence"):
+        stream_gap_monitor(
+            ev, "user_id", "ts", min_gap_us=10, max_silence_us=5
+        )
+
+
 def test_stream_cdc_pane_state_semantics(spark, tmp_path):
     """Per-pane CDC delta on a real stream: last op per (pane, key)
     wins, a tombstone suppresses its pane's row but a later pane's set
