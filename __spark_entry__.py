@@ -4477,16 +4477,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_diff": """
             WITH old AS (
-              -- coalesce mirrors the library's NULL-content sentinel
-              -- (maintenance.snapshot_diff): md5 over chr(0)||'<null>'
-              SELECT doc_id, md5(coalesce(text, chr(0) || '<null>')) AS fp
+              -- mirrors the library's NULL-content sentinel
+              -- (maintenance.snapshot_diff): literal '<null>' for NULL,
+              -- md5 otherwise — md5 output is always 32 hex chars, so
+              -- the marker is collision-free by construction
+              SELECT doc_id,
+                     CASE WHEN text IS NULL THEN '<null>'
+                          ELSE md5(text) END AS fp
               FROM documents WHERE doc_id % 7 != 0
             ), new AS (
               SELECT doc_id,
-                     md5(coalesce(CASE WHEN doc_id % 5 = 0
-                              THEN concat(text, ' v2') ELSE text END,
-                              chr(0) || '<null>')) AS fp
-              FROM documents WHERE doc_id % 11 != 0
+                     CASE WHEN v IS NULL THEN '<null>'
+                          ELSE md5(v) END AS fp
+              FROM (SELECT doc_id,
+                           CASE WHEN doc_id % 5 = 0
+                                THEN concat(text, ' v2')
+                                ELSE text END AS v
+                    FROM documents WHERE doc_id % 11 != 0)
             )
             SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
                    coalesce(old.fp, '') AS old_fp,

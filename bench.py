@@ -54,6 +54,66 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # --- host-drift control (self-calibrating artifact) -----------------
+    # This sandbox host throttles after sustained load (directly measured
+    # rounds 2-5: identical jobs run 1.9-2.4x slower post-throttle).  To
+    # make each bench artifact self-calibrating, re-run three UNCHANGED
+    # mid-cost relational sentinels first and report measured/reference
+    # against their pinned quiet-host readings (BENCH/bench_r5_quiet.json,
+    # load avg 0.10).  drift_factor ~1.0 = trustworthy absolute numbers;
+    # >>1 = the host was busy and per-query regressions vs older
+    # artifacts should be read against this factor, not as code drift.
+    CONTROL_REF = {  # seconds at sf0.1, quiet host, 2026-08-17
+        "pricing_summary": 0.609,
+        "token_stats": 0.408,
+        "knn_cosine": 1.124,
+    }
+    qs_ctl = entry_mod.queries()
+    for name in CONTROL_REF:  # warm-up: JVM JIT, Python workers, page cache
+        qs_ctl[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    def _time_controls() -> dict[str, float]:
+        out = {}
+        for name in CONTROL_REF:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs_ctl[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    def _drift(readings: dict[str, float]) -> float | None:
+        if abs(_sf_label(SF_DIR) - 0.1) > 1e-9:
+            return None
+        import math
+
+        return round(
+            math.exp(
+                sum(
+                    math.log(max(readings[k], 1e-6) / v)
+                    for k, v in CONTROL_REF.items()
+                )
+                / len(CONTROL_REF)
+            ),
+            3,
+        )
+
+    control: dict = {}
+    start_readings = _time_controls()
+    control.update(
+        {f"control_{k}": v for k, v in start_readings.items()}
+    )
+    control["drift_start"] = _drift(start_readings)
+    # drift_end + control_series are filled in during/after the query
+    # loop below: rounds 2-6 showed the throttle can engage (and
+    # recover) MID-run, so a start-only control under-reports it — the
+    # series re-times one cheap sentinel between query blocks.
+    spark.catalog.clearCache()
+
     # --- flagship: end-to-end pages pipeline (throughput metric) --------
     # parquet-backed input (Iceberg scan stand-in), generated once and
     # cached under /tmp; streamwise plan over N_SHARDS logical streams.
@@ -235,12 +295,22 @@ def main() -> None:
         # write + availableNow micro-batch startup), not operator cost
     ]
     total = kelos_secs
-    for name in bench_queries:
+    series: list[float] = []
+    for i, name in enumerate(bench_queries):
+        if i % 15 == 0:
+            # mid-run throttle sentinel: re-time one cheap unchanged
+            # query so drift WITHIN the run is visible in the artifact
+            t0 = time.perf_counter()
+            qs["token_stats"](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            series.append(round(time.perf_counter() - t0, 3))
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+    control["control_series_token_stats"] = series
 
     # --- deployment-path (fast xxhash64) dedup/ANN variants -------------
     # The driver queries above run the PORTABLE md5-hash variants (the
@@ -271,6 +341,12 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    end_readings = _time_controls()
+    control.update(
+        {f"control_end_{k}": v for k, v in end_readings.items()}
+    )
+    control["drift_end"] = _drift(end_readings)
+
     print(
         json.dumps(
             {
@@ -278,6 +354,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "control": control,
                 "sf": _sf_label(SF_DIR),
                 "cpus": CPUS,
                 "bench_pages": N_PAGES,

@@ -42,7 +42,10 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be positive")
     docs = fan_out(docs)  # small scans arrive 1-partition; split+md5
     # over every chunk is the compute, so widen before the projection
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text coalesces to '' (one 1-token empty chunk, like an
+    # empty doc) — without it, size(split(NULL)) is -1 under Spark's
+    # legacy sizeOfNull and sequence(1, -1) errors (ADVICE r5)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(toks)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     exploded = docs.select(
@@ -85,7 +88,14 @@ def pack_sequences(
     boundaries).  One shuffle on the shard key, one window pass."""
     from kelos_on_kafka_spark.plans.layout import fan_out
 
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # NULL text -> '' -> n_tokens = 1 (the [''] token), NEVER -1: under
+    # Spark's legacy sizeOfNull a NULL text yields size() = -1, which
+    # would silently corrupt every later doc's running prefix sum in
+    # this shard (ADVICE r5); '' matches the dedup operators' NULL
+    # convention and keeps the sum monotone
+    n_tok = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    )
     base = fan_out(docs).select(
         F.col(part_col).alias("part"),
         F.col(id_col).alias("doc_id"),

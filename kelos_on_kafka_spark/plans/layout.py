@@ -43,10 +43,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     files = df.inputFiles()
     if not files:
         return df
-    if len(files) > 4 * target:
+    if (
+        len(files) > 4 * target
+        and spark.conf.get("spark.sql.files.minPartitionNum", None) is None
+    ):
         # with default openCostInBytes (4 MiB) even all-tiny files pack
         # to >= len(files)*openCost/maxSplit >= target partitions here;
-        # skip stat'ing thousands of files for a guard that's a no-op
+        # skip stat'ing thousands of files for a guard that's a no-op.
+        # The shortcut's bound assumes the bytes-per-core clamp uses the
+        # session parallelism — only true when minPartitionNum is UNSET;
+        # a user-pinned low minPartitionNum can bin-pack many tiny files
+        # to < target partitions, so that case falls through to the
+        # exact model below (ADVICE r5).
         return df
     if _estimated_scan_partitions(spark, files, target) >= target:
         return df

@@ -154,12 +154,18 @@ def snapshot_diff(
     full-outer join — content never shuffles; the join is one exchange
     per side on the key.
 
-    NULL content gets a sentinel fingerprint (md5 over a NUL-prefixed
-    marker no real text contains) instead of a NULL one: status is
-    derived from KEY presence, and a NULL fingerprint would silently
-    reclassify a both-sides-present key as 'added' (the old_fp IS NULL
-    arm wins), triggering spurious reprocessing."""
-    _fp = lambda c: F.md5(F.coalesce(F.col(c), F.lit("\x00<null>")))  # noqa: E731
+    NULL content gets the sentinel fingerprint ``'<null>'`` instead of
+    a NULL one: status is derived from KEY presence, and a NULL
+    fingerprint would silently reclassify a both-sides-present key as
+    'added' (the old_fp IS NULL arm wins), triggering spurious
+    reprocessing.  The sentinel is unambiguous BY CONSTRUCTION, not by
+    assumption: every non-null fingerprint is an md5 digest (exactly 32
+    lowercase hex chars), and ``'<null>'`` is not of that form, so no
+    content value — including the literal string ``'<null>'`` itself,
+    which hashes like any other text — can collide with the marker."""
+    _fp = lambda c: F.when(  # noqa: E731
+        F.col(c).isNull(), F.lit("<null>")
+    ).otherwise(F.md5(F.col(c)))
     of = old.select(*key_cols, _fp(content_col).alias("old_fp"))
     nf = new.select(*key_cols, _fp(content_col).alias("new_fp"))
     j = of.join(nf, key_cols, "full_outer")

@@ -56,10 +56,12 @@ WARC_SCHEMA = StructType(
         StructField("content_length", LongType()),
         StructField("payload", BinaryType()),
         # per-SEGMENT malformed-record count, stamped on every row of
-        # the segment (constant within a segment); a segment whose
-        # records are ALL malformed emits one __audit__ sentinel row so
-        # the count is never silently lost
-        StructField("bad_records", LongType()),
+        # the segment (constant within a segment — the segment_ prefix
+        # says so: aggregate with max()/any_value() per segment, never
+        # sum() over rows); a segment whose records are ALL malformed
+        # emits one __audit__ sentinel row so the count is never
+        # silently lost
+        StructField("segment_bad_records", LongType()),
     ]
 )
 
@@ -151,10 +153,10 @@ def parse_warc_segments(
     ``spark.read.format('binaryFile')``) into one row per WARC record.
     Malformed records are skipped (resynchronizing on the next
     ``WARC/`` marker) and COUNTED: every emitted row carries its
-    segment's ``bad_records`` total, and a segment that parses to zero
+    segment's ``segment_bad_records`` total, and a segment that parses to zero
     records but nonzero damage emits one ``warc_type='__audit__'``
     sentinel row (record_idx=-1, null url/payload) so no corruption is
-    silently dropped — ``groupBy(segment_id).max(bad_records)`` is the
+    silently dropped — ``groupBy(segment_id).max(segment_bad_records)`` is the
     corpus damage audit.  ``warc_to_pages`` filters to
     ``warc_type='response'`` so sentinels never reach the page table."""
     import pyspark.sql.functions as F
@@ -171,7 +173,7 @@ def parse_warc_segments(
                 recs, bad = parse_warc_bytes(bytes(blob))
                 for r in recs:
                     r["segment_id"] = seg_id
-                    r["bad_records"] = bad
+                    r["segment_bad_records"] = bad
                     rows.append(r)
                 if not recs and bad:
                     rows.append(
@@ -183,7 +185,7 @@ def parse_warc_segments(
                             "warc_date": None,
                             "content_length": 0,
                             "payload": None,
-                            "bad_records": bad,
+                            "segment_bad_records": bad,
                         }
                     )
             if rows:

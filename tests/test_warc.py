@@ -81,7 +81,7 @@ def test_spark_operator_explodes_segments(spark):
 
 def test_spark_operator_surfaces_bad_record_counts(spark):
     """VERDICT r4 #7: the operator itself must quantify skipped
-    records — every row carries its segment's bad_records total, and an
+    records — every row carries its segment's segment_bad_records total, and an
     all-damage segment emits one __audit__ sentinel so its count
     survives."""
     good = _segment(3)
@@ -103,7 +103,7 @@ def test_spark_operator_surfaces_bad_record_counts(spark):
         r.segment_id: r
         for r in out.groupBy("segment_id")
         .agg(
-            F.max("bad_records").alias("bad"),
+            F.max("segment_bad_records").alias("bad"),
             F.count(F.lit(1)).alias("rows"),
         )
         .collect()
