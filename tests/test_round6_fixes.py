@@ -15,19 +15,21 @@ def test_fan_out_shortcut_respects_pinned_min_partition_num(
     and still widen."""
     from kelos_on_kafka_spark.plans import layout
 
-    p = str(tmp_path / "tiny16")
-    spark.range(1600).repartition(16).write.parquet(p)
+    p = str(tmp_path / "tiny20")
+    spark.range(2000).repartition(20).write.parquet(p)
     spark.conf.set("spark.sql.files.minPartitionNum", "1")
     try:
         df = spark.read.parquet(p)
-        target = 3  # 16 files > 4*3: the old shortcut returned df as-is
-        assert len(df.inputFiles()) >= 16
+        target = 4  # 20 files > 4*4: the old shortcut returned df as-is
+        assert len(df.inputFiles()) >= 20
         est = layout._estimated_scan_partitions(
             spark, df.inputFiles(), target
         )
-        assert est < target  # everything packs into ~1 bin
+        # 20 x openCost(4MiB) ~ 80MiB packs into 3 bins of the session's
+        # 32MiB maxPartitionBytes — below target
+        assert est < target
         out = layout.fan_out(df, min_partitions=target)
-        assert out is not df  # must repartition despite 16 > 12 files
+        assert out is not df  # must repartition despite 20 > 16 files
     finally:
         spark.conf.unset("spark.sql.files.minPartitionNum")
 
@@ -38,10 +40,10 @@ def test_fan_out_shortcut_still_skips_stats_when_unset(spark, tmp_path):
     file count returns the untouched plan."""
     from kelos_on_kafka_spark.plans import layout
 
-    p = str(tmp_path / "tiny16b")
-    spark.range(1600).repartition(16).write.parquet(p)
+    p = str(tmp_path / "tiny20b")
+    spark.range(2000).repartition(20).write.parquet(p)
     df = spark.read.parquet(p)
-    assert layout.fan_out(df, min_partitions=3) is df
+    assert layout.fan_out(df, min_partitions=4) is df
 
 
 def test_chunk_documents_null_text(spark):
