@@ -2872,11 +2872,13 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group percentiles: p50/p95 of ``value`` per
-    (event_type, UTC day) — the grouped form of value_percentiles
-    (same linear-interpolation definition on both engines, verified
-    bit-exact there).  At scale swap for approx_percentile per the
-    same note; the exact form is the oracle-checkable contract."""
+    """Exact per-group percentiles (windowing.group_percentiles):
+    p50/p95 of ``value`` per (event_type, UTC day) — the grouped form
+    of value_percentiles (same linear-interpolation definition on both
+    engines, verified bit-exact there).  The exact form is the
+    oracle-checkable contract; exact=False is the tested
+    approx_percentile scale path (rank-error-bounded sketch,
+    tests/test_group_percentiles.py)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.expr(
@@ -2885,10 +2887,8 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day_id"),
         "value",
     )
-    return ev.groupBy("event_type", "day_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+    return windowing.group_percentiles(
+        ev, ["event_type", "day_id"], "value", [0.5, 0.95], exact=True
     )
 
 

@@ -131,3 +131,49 @@ def assign_session_ids(
         "session_seq",
         F.min("__ts_us").over(w_sess).alias("session_start_us"),
     )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[float],
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group percentiles of ``value_col``: one row per group with
+    ``n_events`` and one ``p{NN}`` column per requested percentile.
+
+    ``exact=True`` (the oracle-checkable contract) uses Spark's
+    ``percentile`` — linear interpolation over a per-group SORT, the
+    same definition DuckDB's ``quantile_cont`` implements; exact, but
+    the sort buffers each group, so it is the small-group/audit form.
+
+    ``exact=False`` is the 100 TB path: ``approx_percentile``
+    (Greenwald-Khanna), a bounded-memory mergeable sketch — partial
+    aggregation on the map side, O(accuracy * log n) state per group,
+    never a full sort.  Guaranteed RANK error <= n/accuracy: the
+    returned value's rank r satisfies |r - p*n| <= n/accuracy (it is
+    an actually-observed value, not an interpolation), which is the
+    bound tests/test_group_percentiles.py verifies against the exact
+    form.  Use it whenever groups can be large and the percentile
+    feeds a threshold rather than a published statistic."""
+    if not percentiles:
+        raise ValueError("percentiles must be non-empty")
+    if exact:
+        aggs = [
+            F.expr(f"percentile({value_col}, {p})").alias(
+                f"p{int(round(p * 100)):02d}"
+            )
+            for p in percentiles
+        ]
+    else:
+        aggs = [
+            F.expr(
+                f"approx_percentile({value_col}, {p}, {int(accuracy)})"
+            ).alias(f"p{int(round(p * 100)):02d}")
+            for p in percentiles
+        ]
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"), *aggs
+    )
