@@ -2894,12 +2894,14 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming silence/outage monitor (streaming/gap_stream.py):
-    closed gaps > 1h per user as they are observed + one censored
-    silence alert (gap_end_us = -1) per key when the watermark passes
-    last_ts + 4h.  Staging: sequential consecutive event-time files
-    (the funnel in-order contract — the operator is order-sensitive)
-    plus TWO sentinels (timeouts fire one batch after the watermark
-    that arms them)."""
+    closed gaps > 1h per user once the watermark finalizes them + one
+    censored silence alert (gap_end_us = -1) per key when the
+    watermark passes last_ts + 4h.  The round-6 operator buffers
+    events in state until watermark passage, so output is arrival-
+    order-independent (tests/test_gap_monitor_ooo.py); the staging
+    keeps sequential event-time files only for determinism of the
+    micro-batch COUNT, plus TWO sentinels (timeouts fire one batch
+    after the watermark that arms them)."""
     import tempfile
     import uuid
 
@@ -2978,16 +2980,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW in round 6 (never driver-gated) ---
         "stream_cdc_table": q_stream_cdc_table,
-        # --- NEW in round 5 (never driver-gated) ---
+        # --- oracle or implementation CHANGED in round 6: must re-green
+        # (snapshot_diff collision-free sentinel on both engines;
+        # stream_gap_monitor buffered out-of-order rewrite;
+        # doc_chunks/seq_packing NULL-text coalesce in the plan;
+        # group_percentiles rewired through the library operator;
+        # dedup_decisions grew the pair_source candidate stage) ---
+        "snapshot_diff": q_snapshot_diff,
+        "stream_gap_monitor": q_stream_gap_monitor,
         "doc_chunks": q_doc_chunks,
         "seq_packing": q_seq_packing,
+        "group_percentiles": q_group_percentiles,
+        "dedup_decisions": q_dedup_decisions,
+        # --- rotate-back: longest-unverified driver-green (r01/r02
+        # vintage, VERDICT r5 #2) so the hard-signal evidence stays
+        # fresh ---
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "stopword_stats": q_stopword_stats,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "knn_ivf": q_knn_ivf,
+        "embedding_near_dups": q_embedding_near_dups,
+        "minhash_sigs": q_minhash_sigs,
+        "simhash_near_dups": q_simhash_near_dups,
+        "simhash16_portable": q_simhash16_portable,
+        "hash_split": q_hash_split,
+        "stratified_cap": q_stratified_cap,
+        # --- KELOS debug surface (rows-only by design; keep gated) ---
+        "kelos_topn_epan": q_kelos_topn_epan,
+        "kelos_topn": q_kelos_topn,
+        "kelos_assignments": q_kelos_assignments,
+        "kelos_clusters": q_kelos_clusters,
+        "kelos_candidates": q_kelos_candidates,
+        # --- recent driver-green (r05), fill the window to 50; the rest
+        # rotate behind the gate under local-mirror guard ---
         "scd2_dim": q_scd2_dim,
         "cdc_state": q_cdc_state,
         "stream_cdc_state": q_stream_cdc_state,
         "jaccard_prefix": q_jaccard_prefix,
         "pipeline_clean": q_pipeline_clean,
-        "group_percentiles": q_group_percentiles,
-        "stream_gap_monitor": q_stream_gap_monitor,
         "bigram_rarity": q_bigram_rarity,
         "incremental_dedup": q_incremental_dedup,
         "event_gaps": q_event_gaps,
@@ -2995,18 +3026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sizes": q_cluster_sizes,
         "value_drift": q_value_drift,
         "stream_chained_agg": q_stream_chained_agg,
-        # --- oracle or implementation CHANGED in round 5: must re-green
-        # (session boundary convention moved to strict >; session_assign
-        # oracle dtype fix; snapshot_diff NULL sentinel; stream_knn_ivf
-        # broadcast-data routing; stream_funnel state bound) ---
         "session_assign": q_session_assign,
         "session_windows": q_session_windows,
         "stream_session": q_stream_session,
-        "snapshot_diff": q_snapshot_diff,
         "stream_knn_ivf": q_stream_knn_ivf,
         "stream_funnel": q_stream_funnel,
-        # --- rotate-back: longest-unverified driver-green (r01) so the
-        # hard-signal evidence stays fresh (VERDICT r4 #6) ---
         "stream_tumbling": q_stream_tumbling,
         "stream_sliding": q_stream_sliding,
         "multimodal_meta": q_multimodal_meta,
@@ -3015,16 +3039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_meta": q_audio_meta,
         "lang_guess": q_lang_guess,
-        # --- KELOS debug surface (rows-only by design; keep gated) ---
-        "kelos_topn_epan": q_kelos_topn_epan,
-        "kelos_topn": q_kelos_topn,
-        "kelos_assignments": q_kelos_assignments,
-        "kelos_clusters": q_kelos_clusters,
-        "kelos_candidates": q_kelos_candidates,
-        # --- recent driver-green (r04), fill the window to 50; the rest
-        # rotate behind the gate under local-mirror guard ---
         "det_sample": q_det_sample,
         "value_percentiles": q_value_percentiles,
+        # --- behind the gate from here (position > 50): all have a
+        # committed driver-green row and stay mirror-guarded ---
         "redact_pii": q_redact_pii,
         "funnel_dropoff": q_funnel_dropoff,
         "weighted_sample": q_weighted_sample,
@@ -3038,8 +3056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topn": q_stream_topn,
         "stream_distinct": q_stream_distinct,
         "stream_interval_join": q_stream_interval_join,
-        # --- behind the gate from here (position > 50): all have a
-        # committed driver-green row and stay mirror-guarded ---
         "stream_interval_join_left": q_stream_interval_join_left,
         "stream_bloom_dedup": q_stream_bloom_dedup,
         "stream_dedup_exact": q_stream_dedup_exact,
@@ -3065,26 +3081,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_pane": q_topn_per_pane,
         "interval_join": q_interval_join,
         "dedup_exact": q_dedup_exact,
-        "dedup_fingerprint": q_dedup_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "quality_flags": q_quality_flags,
-        "stopword_stats": q_stopword_stats,
-        "bpe_token_count": q_bpe_token_count,
-        "winnow_fingerprints": q_winnow_fingerprints,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
-        "embedding_near_dups": q_embedding_near_dups,
-        "minhash_sigs": q_minhash_sigs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "stream_near_dups": q_stream_near_dups,
         "near_dup_groups": q_near_dup_groups,
-        "dedup_decisions": q_dedup_decisions,
         "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "simhash16_portable": q_simhash16_portable,
         "region_revenue": q_region_revenue,
         "pricing_summary": q_pricing_summary,
         "semi_join": q_semi_join,
@@ -3094,8 +3100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "cep_sequence": q_cep_sequence,
         "rollup_panes": q_rollup_panes,
-        "hash_split": q_hash_split,
-        "stratified_cap": q_stratified_cap,
     }
 
 

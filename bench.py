@@ -289,6 +289,14 @@ def main() -> None:
         "seq_packing",
         "scd2_dim",
         "cdc_state",
+        # round 6
+        "jaccard_prefix",  # the lossless candidate stage, benched next
+        # to the df-capped ngram_jaccard (VERDICT r5 #5): on THIS
+        # synthetic corpus shingle df ~ 1, so expect prefix to lose —
+        # the crossover rule lives in near_dup_groups' docstring
+        "group_percentiles",
+        # stream_cdc_table is staged streaming (untimed, same rule as
+        # stream_cdc_state above)
         # stream_cdc_state is NOT timed here: like the other staged
         # streaming driver queries (stream_topn, stream_funnel, ...)
         # its wall-clock is dominated by harness staging (parquet
