@@ -2490,6 +2490,148 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup(new_batch, old)
 
 
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL fixture over documents (the table has
+    no url column): scheme/host case, default and explicit ports,
+    trailing slashes, tracking params, shuffled param order, fragments
+    — every rule canonical_url normalizes.  The same expression is
+    spelled in the oracle SQL so both engines canonicalize identical
+    inputs."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP"),
+        F.when(d % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".Com"),
+        F.when(d % 2 == 0, F.lit(":443"))
+        .when(d % 5 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 6 == 1, F.lit("?b=2&a=1"))
+        .when(d % 6 == 2, F.lit("?a=1&b=2&gclid=xyz"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (webtext.canonical_url_dedup): canonicalize and
+    group — case, default ports, fragments, tracking params, param
+    order and trailing slashes all collapse; one row per canonical key
+    with variant count and min-id keeper."""
+    from kelos_on_kafka_spark.operators.webtext import canonical_url_dedup
+
+    return canonical_url_dedup(_synth_urls(spark, sf_dir))
+
+
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-depth histogram of event values
+    (windowing.equidepth_histogram): ntile(8) over (value, event_id) —
+    deterministic total order, observed lo/hi bounds, zero float
+    arithmetic."""
+    return windowing.equidepth_histogram(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        n_buckets=8,
+        id_col="event_id",
+    )
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked corpus vocabulary (textstats.build_vocab):
+    whitespace tokens with count >= 5, ids by (count desc, token asc)
+    — byte-reproducible tokenizer/embedding vocab."""
+    from kelos_on_kafka_spark.operators.textstats import build_vocab
+
+    return build_vocab(
+        _t(spark, sf_dir, "documents"), min_count=5
+    )
+
+
+def q_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language length gate
+    (textstats.adaptive_length_filter): keep docs at/above their
+    lang's p10 token count — thresholds follow each group instead of
+    one global cutoff deleting low-resource languages."""
+    from kelos_on_kafka_spark.operators.textstats import (
+        adaptive_length_filter,
+    )
+
+    return adaptive_length_filter(
+        _t(spark, sf_dir, "documents"), pct=0.1
+    )
+
+
+def q_stream_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup
+    (streaming/incr_dedup_stream.stream_incremental_dedup): the
+    q_incremental_dedup fixture run as a STREAM against the static
+    old-corpus digest table — statuses seen (history join) / keep
+    (first stream arrival) / batch_dup.  Event time = doc_id seconds,
+    files staged in event-time order so keeper = min doc_id (the
+    stream_dedup_exact arrival contract); oracle = the batch ranking
+    SQL."""
+    import tempfile
+    import uuid
+
+    from kelos_on_kafka_spark.streaming.incr_dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    BASE = 1_700_000_000
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(BASE) + F.col("doc_id")).alias("ts"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("BOILERPLATE PAGE")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    history = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    src = tempfile.mkdtemp(prefix="sincr_src_")
+    n_files, step = 3, (n_docs + 2) // 3
+    for i in range(n_files):
+        part = new_batch.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+        )
+        part.coalesce(1).sortWithinPartitions("ts", "doc_id").write.parquet(
+            f"{src}/f{i:03d}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = stream_incremental_dedup(
+        stream,
+        history,
+        horizon_us=10**15,
+        watermark_delay=f"{2 * n_docs} seconds",
+    )
+    name = f"sincr_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user silence gaps > 1h (temporal.detect_gaps): feed-health /
     outage detection, the inverse of sessionization under the same
@@ -2980,6 +3122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW in round 6 (never driver-gated) ---
         "stream_cdc_table": q_stream_cdc_table,
+        "canonical_urls": q_canonical_urls,
+        "equidepth_hist": q_equidepth_hist,
+        "vocab": q_vocab,
+        "adaptive_filter": q_adaptive_filter,
+        "stream_incr_dedup": q_stream_incr_dedup,
         # --- oracle or implementation CHANGED in round 6: must re-green
         # (snapshot_diff collision-free sentinel on both engines;
         # stream_gap_monitor buffered out-of-order rewrite;
@@ -3265,6 +3412,138 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM cur
             UNION ALL
             SELECT * FROM nv
+        """,
+        "canonical_urls": """
+            WITH u0 AS (
+              SELECT doc_id,
+                     'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END
+                     || '://'
+                     || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END
+                     || source || '.Com'
+                     || CASE WHEN doc_id % 2 = 0 THEN ':443'
+                             WHEN doc_id % 5 = 0 THEN ':8080'
+                             ELSE '' END
+                     || '/Articles/' || CAST(doc_id % 40 AS VARCHAR)
+                     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                               THEN '?utm_source=feed&b=2&a=1'
+                             WHEN doc_id % 6 = 1 THEN '?b=2&a=1'
+                             WHEN doc_id % 6 = 2 THEN '?a=1&b=2&gclid=xyz'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN '#Section-2'
+                             ELSE '' END AS url
+              FROM documents
+            ), u1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u0
+            ), p AS (
+              SELECT doc_id,
+                lower(regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(u,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                regexp_replace(regexp_extract(u,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                  '/+$', '') AS path,
+                regexp_extract(u, '\\?([^#]*)', 1) AS qraw
+              FROM u1
+            ), q AS (
+              SELECT doc_id, scheme,
+                CASE WHEN scheme = 'http'
+                       THEN regexp_replace(auth, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(auth, ':443$', '')
+                     ELSE auth END AS auth,
+                path,
+                array_to_string(list_sort(list_filter(
+                  string_split(qraw, '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))), '&') AS qstr
+              FROM p
+            ), c AS (
+              SELECT doc_id,
+                CASE WHEN scheme = '' THEN ''
+                     ELSE scheme || '://' || auth || path ||
+                          CASE WHEN qstr <> '' THEN '?' || qstr
+                               ELSE '' END END AS canon_url
+              FROM q
+            )
+            SELECT canon_url,
+                   CAST(count(*) AS BIGINT) AS n_variants,
+                   min(doc_id) AS keeper_id
+            FROM c GROUP BY canon_url
+        """,
+        "equidepth_hist": """
+            WITH b AS (
+              SELECT event_type, value,
+                     ntile(8) OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                     ) AS bucket
+              FROM events
+            )
+            SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS lo, max(value) AS hi
+            FROM b GROUP BY event_type, bucket
+        """,
+        "vocab": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n
+              FROM toks WHERE token <> '' GROUP BY token
+            ), f AS (
+              SELECT * FROM c WHERE n >= 5
+            )
+            SELECT token, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                        AS BIGINT) AS token_id
+            FROM f
+        """,
+        "adaptive_filter": """
+            WITH base AS (
+              SELECT doc_id, lang AS grp,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(array_length(regexp_split_to_array(
+                                 trim(text), '\\s+')) AS BIGINT)
+                     END AS n_tokens
+              FROM documents
+            ), thr AS (
+              SELECT grp, quantile_cont(n_tokens, 0.1) AS threshold
+              FROM base GROUP BY grp
+            )
+            SELECT b.doc_id, b.grp, b.n_tokens, t.threshold
+            FROM base b JOIN thr t USING (grp)
+            WHERE b.n_tokens >= t.threshold
+        """,
+        "stream_incr_dedup": """
+            WITH newb AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0 THEN 'BOILERPLATE PAGE'
+                          ELSE text END AS text
+              FROM documents
+            ), d AS (
+              SELECT doc_id, md5(text) AS digest,
+                     CAST((1700000000 + doc_id) * 1000000 AS BIGINT)
+                       AS ts_us
+              FROM newb
+            ), old AS (
+              SELECT DISTINCT md5(text) AS digest
+              FROM documents WHERE doc_id % 3 = 0
+            ), r AS (
+              SELECT d.doc_id, d.digest, d.ts_us,
+                     old.digest IS NOT NULL AS is_old,
+                     row_number() OVER (
+                       PARTITION BY d.digest ORDER BY d.doc_id
+                     ) AS rn
+              FROM d LEFT JOIN old ON d.digest = old.digest
+            )
+            SELECT doc_id, digest, ts_us,
+                   CASE WHEN is_old THEN 'seen'
+                        WHEN rn = 1 THEN 'keep'
+                        ELSE 'batch_dup' END AS status
+            FROM r
         """,
         "stream_cdc_table": """
             -- the end-to-end streaming MERGE table must equal the

@@ -574,3 +574,77 @@ def normalized_dup_groups(
         F.min("doc_id").over(w).alias("keeper_id"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_variants"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary with deterministic contiguous ids: whitespace
+    tokens counted corpus-wide, tokens below ``min_count`` dropped,
+    ids assigned by (count DESC, token ASC) — the frequency-ranked
+    vocab a tokenizer-training / embedding pipeline consumes, byte-
+    reproducible across runs and engines.  Returns
+    (token, n, token_id) with token_id starting at 0.
+
+    Scale shape: the explode + groupBy is the whole corpus pass (one
+    shuffle on the token, map-side combined); the ranking window runs
+    AFTER the aggregation on the vocab table itself — ~10^5-10^6 rows
+    regardless of corpus size — so the single-task global sort it
+    implies is a deliberate non-issue (same reasoning as a driver-side
+    topK on an aggregated result, but it stays on executors)."""
+    toks = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.where(F.col("n") >= min_count)
+        .withColumn(
+            "token_id", (F.row_number().over(w) - 1).cast("long")
+        )
+    )
+
+
+def adaptive_length_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    pct: float = 0.1,
+) -> DataFrame:
+    """Adaptive per-group quality gate: keep documents whose token
+    count is >= their GROUP's ``pct`` percentile — thresholds adapt to
+    each language/source instead of one global cutoff silently
+    deleting whole low-resource languages (the CC-pipeline failure
+    mode a fixed Gopher bound has).  Returns the kept rows as
+    (doc_id, group, n_tokens, threshold).
+
+    Scale shape: the threshold table is one tiny aggregation (rows =
+    groups), broadcast back onto the corpus — the corpus itself is
+    scanned once and never shuffled.  The exact percentile here is
+    over the per-group token-count column (percentile() sorts counts
+    inside the agg buffer, bounded by group cardinality after
+    pre-aggregation is NOT possible — for unbounded groups swap in
+    windowing.group_percentiles(exact=False), same join shape)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        n_tokens(text_col).alias("n_tokens"),
+    )
+    thresholds = base.groupBy("grp").agg(
+        F.expr(f"percentile(n_tokens, {pct})").alias("threshold")
+    )
+    return (
+        base.join(F.broadcast(thresholds), "grp")
+        .where(F.col("n_tokens") >= F.col("threshold"))
+        .select("doc_id", F.col("grp"), "n_tokens", "threshold")
+    )

@@ -39,6 +39,93 @@ def registered_domain(host: Column) -> Column:
     return F.when(tail == "", host).otherwise(tail)
 
 
+# tracking query params dropped by canonical_url: utm_* and the usual
+# click-id keys; anchored, portable regex (works byte-identically in
+# Java regex and DuckDB RE2 — no lookaround)
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+
+def canonical_url(url_col: str = "url") -> Column:
+    """Canonical form of an absolute URL — the normalization a crawl
+    dedup keys on so `HTTP://Host/a/?utm_source=x&b=2&a=1#top` and
+    `http://host/a?a=1&b=2` collapse to one key:
+
+    1. scheme and authority lower-cased (path/query case preserved —
+       paths are case-significant on most origins),
+    2. fragment stripped,
+    3. default port stripped (http:80 / https:443),
+    4. tracking params dropped (``utm_*``, fbclid, gclid, ref),
+    5. surviving query params sorted bytewise,
+    6. trailing slash(es) stripped from the path.
+
+    Pure Catalyst expression (regexp + split/filter/array_sort/
+    concat_ws — whole-stage codegen, no UDF); the same rules are
+    expressible verbatim in DuckDB SQL, so the op is oracle-checkable.
+    Unparseable values (no ``scheme://``) return '' — callers route
+    them to a quarantine bucket rather than silently keying on junk."""
+    u = F.regexp_replace(F.col(url_col), r"#.*$", "")  # 2: fragment
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, r":443$", "")
+    ).otherwise(auth)
+    path = F.regexp_replace(
+        F.regexp_extract(
+            u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    qraw = F.regexp_extract(u, r"\?([^#]*)", 1)
+    qkeep = F.array_sort(
+        F.filter(
+            F.split(qraw, "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qstr = F.concat_ws("&", qkeep)
+    return F.when(scheme == "", F.lit("")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            auth,
+            path,
+            F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+
+
+def canonical_url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Group pages by canonical URL: one row per canonical key with the
+    variant count and the keeper (min id) — the URL-level dedup pass a
+    crawl pipeline runs BEFORE content dedup (it is free: no text is
+    read, the shuffle key is one short string).  Unparseable URLs
+    ('' canonical) group together for quarantine accounting."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            canonical_url(url_col).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",

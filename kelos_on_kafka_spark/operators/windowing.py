@@ -177,3 +177,38 @@ def group_percentiles(
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_events"), *aggs
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_buckets: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-group EQUI-DEPTH histogram (the complement of
+    maintenance.distribution_drift's equi-width buckets): ntile(k) over
+    (value, id) splits each group into k near-equal-count buckets;
+    returns (group..., bucket, n, lo, hi).  The id tiebreak makes the
+    bucketing a total order, so the result is deterministic and
+    engine-portable; lo/hi are observed values (min/max), never
+    interpolated — no float arithmetic at all.
+
+    Scale shape: one shuffle on the group key; ntile sorts each group
+    inside one task, so this is the exact/audit form for bounded
+    groups (a per-(type, day) slice, a per-domain slice).  For
+    unbounded groups use group_percentiles(exact=False) to CUT by
+    approximate quantiles instead — the sketch path never materializes
+    a per-group sort."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

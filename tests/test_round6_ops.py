@@ -1,0 +1,174 @@
+"""Round-6 operator tests: canonical_url rules, equi-depth histogram,
+vocab builder, adaptive length filter, streaming incremental dedup."""
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_canonical_url_rules(spark):
+    from kelos_on_kafka_spark.operators.webtext import canonical_url
+
+    cases = [
+        # (raw, canonical)
+        (
+            "HTTPS://WWW.Example.Com:443/A/B/?utm_source=x&b=2&a=1#top",
+            "https://www.example.com/A/B?a=1&b=2",
+        ),
+        ("http://Host.com:80/x", "http://host.com/x"),
+        ("http://host.com:8080/x/", "http://host.com:8080/x"),
+        ("https://h.com/p?gclid=1&ref=z&fbclid=2", "https://h.com/p"),
+        ("https://h.com/p?z=1&a=2", "https://h.com/p?a=2&z=1"),
+        ("https://h.com", "https://h.com"),
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonical_url().alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_equidepth_histogram_counts_and_bounds(spark):
+    from kelos_on_kafka_spark.operators.windowing import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float((i * 7) % 100)) for i in range(40)],
+        "grp string, id long, value double",
+    )
+    rows = sorted(
+        equidepth_histogram(df, ["grp"], "value", 4, "id").collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.n for r in rows] == [10, 10, 10, 10]
+    # buckets tile the sorted value range without overlap
+    for earlier, later in zip(rows, rows[1:]):
+        assert earlier.hi <= later.lo
+    assert rows[0].lo == 0.0 and rows[-1].hi == max(
+        float((i * 7) % 100) for i in range(40)
+    )
+
+
+def test_build_vocab_rank_and_min_count(spark):
+    from kelos_on_kafka_spark.operators.textstats import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b  d"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token: (r.n, r.token_id)
+        for r in build_vocab(df, min_count=2).collect()
+    }
+    # b:4, a:3; c and d dropped (min_count)
+    assert got == {"b": (4, 0), "a": (3, 1)}
+
+
+def test_adaptive_length_filter_per_group_threshold(spark):
+    from kelos_on_kafka_spark.operators.textstats import (
+        adaptive_length_filter,
+    )
+
+    rows = [(i, "en", "w " * (i + 1)) for i in range(10)] + [
+        (100 + i, "xx", "w " * (50 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(d, g, t.strip()) for d, g, t in rows],
+        "doc_id long, lang string, text string",
+    )
+    kept = adaptive_length_filter(df, pct=0.5)
+    by_grp = {
+        g: sorted(r.doc_id for r in kept.where(F.col("grp") == g).collect())
+        for g in ("en", "xx")
+    }
+    # each group keeps its own upper half — the short-doc group is NOT
+    # wiped out by the long-doc group's scale.  p50 of 1..10 = 5.5
+    # (linear interpolation), so n_tokens >= 5.5 keeps 6..10 (ids
+    # 5..9); same shape shifted by 50 for 'xx'.
+    assert by_grp["en"] == [5, 6, 7, 8, 9]
+    assert by_grp["xx"] == [105, 106, 107, 108, 109]
+
+
+def _run_incr_stream(spark, tmp_path, files, history, **kw):
+    from kelos_on_kafka_spark.streaming.incr_dedup_stream import (
+        stream_incremental_dedup,
+    )
+
+    src = str(tmp_path / f"incr_{uuid.uuid4().hex[:8]}")
+    for i, rows in enumerate(files):
+        spark.createDataFrame(
+            rows, "doc_id long, sec long, text string"
+        ).select(
+            "doc_id",
+            F.timestamp_seconds(F.col("sec") + 1_700_000_000).alias("ts"),
+            "text",
+        ).coalesce(1).write.parquet(f"{src}/f{i:03d}")
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).option("maxFilesPerTrigger", 1).parquet(f"{src}/*")
+    out = stream_incremental_dedup(stream, history, **kw)
+    name = f"incr_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r.doc_id: r.status for r in spark.table(name).collect()}
+
+
+def test_stream_incremental_dedup_statuses(spark, tmp_path):
+    history = spark.createDataFrame(
+        [("old text",)], "t string"
+    ).select(F.md5("t").alias("digest"))
+    files = [
+        [(1, 0, "old text"), (2, 1, "fresh text")],
+        [(3, 2, "fresh text"), (4, 3, "old text"), (5, 4, "other")],
+    ]
+    got = _run_incr_stream(
+        spark, tmp_path, files, history,
+        horizon_us=10**15, watermark_delay="3600 seconds",
+    )
+    assert got == {
+        1: "seen",      # in history
+        2: "keep",      # first stream arrival
+        3: "batch_dup", # same digest, later batch
+        4: "seen",      # history wins even after eviction-free window
+        5: "keep",
+    }
+
+
+def test_stream_incremental_dedup_horizon_eviction(spark, tmp_path):
+    """After the watermark passes last_ts + horizon the digest's hot
+    state is evicted (the timeout fires on the next batch where the
+    key is silent — flatMapGroupsWithState semantics): a recurrence is
+    then admitted as 'keep' again (the hot-window contract; FOREVER
+    memory is the history table)."""
+    history = spark.createDataFrame([("zzz",)], "t string").select(
+        F.md5("t").alias("digest")
+    )
+    files = [
+        [(1, 0, "recurring")],
+        [(2, 10_000, "advance watermark")],   # wm -> 0 - 1s after b1
+        [(3, 20_000, "advance watermark 2")], # b3: wm 9999s > timeout
+        #                                       (100s) -> state evicted
+        [(4, 30_000, "recurring")],           # admitted fresh
+    ]
+    got = _run_incr_stream(
+        spark, tmp_path, files, history,
+        horizon_us=100 * 1_000_000,  # 100 s horizon
+        watermark_delay="1 seconds",
+    )
+    assert got[1] == "keep" and got[4] == "keep"
+    assert got[2] == "keep" and got[3] == "keep"
