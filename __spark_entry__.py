@@ -332,6 +332,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates->rescore: LSH-banded candidate pairs (the exact
+    portable banding of minhash_lsh_pairs) rescored with the EXACT
+    token-count cosine (dedup.count_cosine_rescore) — integer dot
+    products, one IEEE float op chain for the cosine, so the oracle
+    matches bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16, shingle_words=3)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_bands=4, rows_per_band=4, portable=True
+    )
+    return dedup.count_cosine_rescore(docs, pairs)
+
+
 def q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup group resolution: LSH candidate pairs ->
     distributed connected components (min-label + pointer jumping) ->
@@ -1511,6 +1525,39 @@ def _minhash_pairs_ctes(
 
 def _minhash_pairs_sql(**kw) -> str:
     return f"WITH {_minhash_pairs_ctes(**kw)}\nSELECT doc_a, doc_b FROM pairs"
+
+
+def _cosine_rescore_sql(**kw) -> str:
+    """Exact token-count cosine over the portable LSH candidate pairs:
+    integer dot / norms (DuckDB HUGEINT, exact), then the identical
+    IEEE chain cast->sqrt->mul->div as the Spark operator."""
+    return f"""
+    WITH {_minhash_pairs_ctes(**kw)},
+    tcnt AS (
+      SELECT doc_id, tok AS token, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents) u
+      WHERE tok != '' GROUP BY doc_id, tok
+    ), norms AS (
+      SELECT doc_id, sum(cnt * cnt) AS n2 FROM tcnt GROUP BY doc_id
+    ), dots AS (
+      SELECT p.doc_a, p.doc_b, sum(a.cnt * b.cnt) AS dot
+      FROM pairs p
+      JOIN tcnt a ON a.doc_id = p.doc_a
+      JOIN tcnt b ON b.doc_id = p.doc_b AND b.token = a.token
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(d.dot, 0) AS BIGINT) AS dot,
+           CAST(coalesce(d.dot, 0) AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM pairs p
+    LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+    JOIN norms na ON na.doc_id = p.doc_a
+    JOIN norms nb ON nb.doc_id = p.doc_b
+    """
 
 
 def _near_dup_groups_sql(**kw) -> str:
@@ -3121,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new query at the end."""
     return {
         # --- NEW in round 6 (never driver-gated) ---
+        "cosine_rescore": q_cosine_rescore,
         "stream_cdc_table": q_stream_cdc_table,
         "canonical_urls": q_canonical_urls,
         "equidepth_hist": q_equidepth_hist,
@@ -3252,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cosine_rescore": _cosine_rescore_sql(),
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).

@@ -891,3 +891,90 @@ def ngram_jaccard_prefix_pairs(
         )
     )
     return verified.select("doc_a", "doc_b", "inter", "union_n")
+
+
+def count_cosine_rescore(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-count COSINE rescoring of candidate pairs — the
+    second half of the production candidates->rescore shape (LSH or
+    prefix-filter proposes, an exact similarity disposes; the
+    reference's cluster-then-rescore pattern, KELOSProcessors
+    ``PruningProcessor``/``KNearestPointsProcessor``
+    src/main/java/.../PruningProcessor.java:1, applied to text).
+
+    ``pairs`` is any (doc_a, doc_b) candidate table (e.g.
+    ``lsh_candidate_pairs``).  Each document becomes a sparse
+    bag-of-words count vector over whitespace tokens; the result is
+    (doc_a, doc_b, dot, cosine) with dot = <a,b> in EXACT integer
+    arithmetic and cosine = dot / (||a||*||b||) computed with one
+    float op per term (cast, sqrt, multiply, divide — all correctly
+    rounded IEEE, so engine-portable bit-for-bit).
+
+    Scale shape (100 TB): the token table shuffles (doc_id, token,
+    cnt) triples — never text; it is first SEMI-JOINED down to only
+    the documents that appear in some candidate pair (candidates are
+    a vanishing fraction of the corpus after LSH), so the two rescore
+    joins touch O(|pairs| * avg_doc_tokens) rows, not the corpus.
+    The dot-product join is keyed on (doc_id, token) — fine-grained
+    keys, no hot single key; AQE splits any residual skew.  No
+    Python anywhere: explode/groupBy/join/sum are all codegen'd."""
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    in_pairs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = toks.join(in_pairs, "doc_id", "left_semi")
+    norms = toks.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("cnt").alias("cnt_a"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("cnt").alias("cnt_b"),
+    )
+    dots = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("dot"))
+    )
+    return (
+        pairs.join(dots, ["doc_a", "doc_b"], "left")
+        .join(norms.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n2").alias("na2")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n2").alias("nb2")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("dot"), F.lit(0)).cast("long").alias("dot"),
+            (
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )

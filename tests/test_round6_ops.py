@@ -172,3 +172,44 @@ def test_stream_incremental_dedup_horizon_eviction(spark, tmp_path):
     )
     assert got[1] == "keep" and got[4] == "keep"
     assert got[2] == "keep" and got[3] == "keep"
+
+
+def test_count_cosine_rescore_hand_computed(spark):
+    """Tiny fixture with hand-computed cosines: doc 1 = "a a b",
+    doc 2 = "a b b", doc 3 = "c".  cos(1,2) = (2*1 + 1*2) /
+    (sqrt(5)*sqrt(5)) = 4/5; cos(1,3) = 0 (no shared token, LEFT
+    join coalesces dot to 0)."""
+    import math
+
+    from kelos_on_kafka_spark.operators.dedup import count_cosine_rescore
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in count_cosine_rescore(docs, pairs).collect()
+    }
+    assert set(rows) == {(1, 2), (1, 3)}
+    assert rows[(1, 2)].dot == 4
+    assert rows[(1, 2)].cosine == pytest.approx(4.0 / 5.0, abs=1e-12)
+    assert rows[(1, 3)].dot == 0
+    assert rows[(1, 3)].cosine == 0.0
+
+
+def test_count_cosine_rescore_semi_join_prunes(spark):
+    """Docs not in any pair never reach the rescore joins (the corpus
+    semi-join): result covers exactly the pair set."""
+    from kelos_on_kafka_spark.operators.dedup import count_cosine_rescore
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z") for i in range(50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    out = count_cosine_rescore(docs, pairs).collect()
+    assert len(out) == 1
+    assert out[0].cosine == pytest.approx(1.0, abs=1e-12)
