@@ -2690,6 +2690,49 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink stats (webtext.link_stats) over a
+    deterministic synthetic-HTML fixture: each document's page body
+    is its text wrapped in <p> plus ``doc_id % 4`` anchor tags with
+    host d{(doc_id*31+i) % 97}.example.com — the input_hint html
+    column shape, synthesized in-engine (no external data).  The
+    oracle derives (n_links, n_hosts, link_density) from the SAME
+    formula directly, so any defect in the href extraction, host
+    regex or token accounting mismatches."""
+    from kelos_on_kafka_spark.operators.webtext import link_stats
+
+    d = _t(spark, sf_dir, "documents")
+    n = (F.col("doc_id") % 4).cast("long")
+    anchors = F.when(
+        n >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), n),
+                lambda i: F.concat(
+                    F.lit('<a href="https://d'),
+                    ((F.col("doc_id") * 31 + i) % 97).cast("string"),
+                    F.lit(".example.com/p"),
+                    F.col("doc_id").cast("string"),
+                    F.lit('">t</a>'),
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p>"),
+            anchors,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return link_stats(pages)
+
+
 def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily sessionized engagement metrics (webtext.bounce_rate):
     sessions as strict-> 30-min islands per user, bounce = 1-event
@@ -2705,6 +2748,28 @@ def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic centroids (the IVF quantizer), integer-only output."""
     return similarity.cluster_sizes(
         _t(spark, sf_dir, "embeddings"), n_cells=8
+    )
+
+
+def q_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cardinality report (maintenance.cardinality_stats):
+    rows + EXACT distinct users per (event_type, UTC day) — the
+    table-stats primitive.  Exact count(DISTINCT) is the oracle
+    contract; exact=False swaps in the HyperLogLog++ sketch
+    (fixed-size mergeable state, tests/test_round6_ops.py bounds its
+    error)."""
+    from kelos_on_kafka_spark.plans.maintenance import cardinality_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, CAST('1970-01-01 00:00:00' AS "
+            "TIMESTAMP_NTZ), CAST(ts AS TIMESTAMP_NTZ)) div 86400000000"
+        ).alias("day_id"),
+        "user_id",
+    )
+    return cardinality_stats(
+        ev, ["event_type", "day_id"], "user_id", exact=True
     )
 
 
@@ -3081,6 +3146,22 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (windowing.winsorize): clip each
+    event's value into its event_type's exact [p05, p95] band; rows
+    keep their identity (event_id) and carry the audit bounds.  The
+    exact percentile form is the oracle contract; exact=False is the
+    sketch-bounded 100 TB path (tests/test_round6_ops.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return windowing.winsorize(
+        ev, ["event_type"], "value", lo=0.05, hi=0.95, exact=True
+    ).select(
+        "event_id", "event_type", "value", "value_wins", "w_lo", "w_hi"
+    )
+
+
 def q_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming silence/outage monitor (streaming/gap_stream.py):
     closed gaps > 1h per user once the watermark finalizes them + one
@@ -3169,6 +3250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW in round 6 (never driver-gated) ---
         "cosine_rescore": q_cosine_rescore,
+        "winsorized": q_winsorized,
+        "cardinality": q_cardinality,
+        "link_stats": q_link_stats,
         "stream_cdc_table": q_stream_cdc_table,
         "canonical_urls": q_canonical_urls,
         "equidepth_hist": q_equidepth_hist,
@@ -3301,6 +3385,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cosine_rescore": _cosine_rescore_sql(),
+        "winsorized": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS w_lo,
+                     quantile_cont(value, 0.95) AS w_hi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NOT NULL THEN
+                     least(greatest(e.value, b.w_lo), b.w_hi) END
+                     AS value_wins,
+                   b.w_lo, b.w_hi
+            FROM events e JOIN b USING (event_type)
+        """,
+        "cardinality": """
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day_id,
+                   count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type, day_id
+        """,
+        "link_stats": """
+            -- oracle from the fixture FORMULA (doc_id % 4 links, host
+            -- key (doc_id*31+i) % 97), independent of the operator's
+            -- href/host regex machinery
+            WITH l AS (
+              SELECT d.doc_id, (d.doc_id * 31 + i.i) % 97 AS hk
+              FROM documents d
+              JOIN (SELECT unnest(generate_series(1, 3)) AS i) i
+                ON i.i <= d.doc_id % 4
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_links,
+                     count(DISTINCT hk) AS n_hosts
+              FROM l GROUP BY doc_id
+            ), tok AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END AS n_toks
+              FROM documents
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(a.n_links, 0) AS BIGINT) AS n_links,
+                   CAST(coalesce(a.n_hosts, 0) AS BIGINT) AS n_hosts,
+                   CASE WHEN t.n_toks > 0 THEN
+                     CAST(coalesce(a.n_links, 0) AS DOUBLE)
+                       / CAST(t.n_toks AS DOUBLE)
+                   END AS link_density
+            FROM tok t LEFT JOIN agg a USING (doc_id)
+        """,
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is
         # enforced in tests/test_spark_batch.py).

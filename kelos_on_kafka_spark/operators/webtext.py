@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kelos_on_kafka_spark.operators.textstats import n_tokens
+from kelos_on_kafka_spark.plans.layout import fan_out
 
 # scheme://host[:port]/... -> host (group 1); empty string when the
 # value does not parse as an absolute URL
@@ -239,4 +240,66 @@ def bounce_rate(
             F.col("n_bounces").cast("double")
             / F.col("n_sessions").cast("double"),
         )
+    )
+
+
+# href="..." attribute values; portable regex subset (no lookaround)
+_HREF_RE = r'href="([^"]*)"'
+
+
+def extract_links(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Explode every ``href="..."`` attribute of an HTML column into
+    (id, pos, link) rows — the link-graph edge extraction of a
+    Common-Crawl pipeline (the input_hint's html column made useful:
+    outlink tables, anchor-spam stats, crawl frontiers).
+
+    Pure Catalyst: regexp_extract_all + posexplode_outer, so a page
+    with no links still yields one row with NULL link (lossless —
+    downstream anti-joins can tell "no links" from "dropped page").
+    Scale shape: the html bytes stay in the scan stage's task — only
+    (id, pos, link) triples leave it; wrap compute-heavy callers in
+    fan_out upstream (small scans arrive as one partition)."""
+    links = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(_HREF_RE), F.lit(1)
+    )
+    return fan_out(df).select(
+        F.col(id_col),
+        F.posexplode_outer(links).alias("pos", "link"),
+    )
+
+
+def link_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-page outlink statistics: (id, n_links, n_hosts,
+    link_density) where link_density = links per whitespace token of
+    the extracted text — one of the north-star per-page feature-vector
+    components (link density) as a first-class relational operator.
+
+    Everything happens INSIDE one projection over the scan — the href
+    array, its distinct host projection and the token count never
+    leave the task as anything bigger than three numbers per page, so
+    at 10^12 pages this is a pure map stage (no shuffle at all).
+    NULL html counts as zero links; link_density is NULL when the
+    text has no tokens (never a division by zero)."""
+    links = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(_HREF_RE), F.lit(1)
+    )
+    hosts = F.array_distinct(
+        F.transform(links, lambda u: F.regexp_extract(u, _HOST_RE, 1))
+    )
+    ntok = n_tokens(text_col)
+    return fan_out(df).select(
+        F.col(id_col),
+        F.size(links).cast("long").alias("n_links"),
+        F.size(hosts).cast("long").alias("n_hosts"),
+        F.when(
+            ntok > 0,
+            F.size(links).cast("double") / ntok.cast("double"),
+        ).alias("link_density"),
     )

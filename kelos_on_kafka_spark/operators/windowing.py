@@ -212,3 +212,49 @@ def equidepth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group WINSORIZATION: clip ``value_col`` into its group's
+    [p_lo, p_hi] percentile band — the standard robust-feature step
+    before scaling/training (tail-capping page-length, load-time,
+    score columns without deleting rows).  Adds ``out_col``
+    (default ``{value_col}_wins``) plus the audit bounds ``w_lo`` /
+    ``w_hi``; a NULL value stays NULL (no silent clamp-to-bound —
+    the chunking NULL-guard lesson, ADVICE r5).
+
+    ``exact=True`` uses ``percentile`` (linear interpolation over a
+    per-group sort — DuckDB ``quantile_cont`` semantics, the
+    oracle-checkable contract).  ``exact=False`` is the 100 TB path:
+    ``approx_percentile`` bounds, mergeable sketch state, no per-group
+    sort — bounds shift within the sketch's rank error but the clip
+    algebra is unchanged.
+
+    Scale shape: ONE shuffle on the group key for the bounds agg; the
+    bounds table is |groups| rows, so Catalyst broadcasts the join
+    back (AQE does this from runtime stats even without ANALYZE).
+    least/greatest are codegen'd; no Python anywhere."""
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"{fn}({value_col}, {lo}{acc})").alias("w_lo"),
+        F.expr(f"{fn}({value_col}, {hi}{acc})").alias("w_hi"),
+    )
+    out = out_col or f"{value_col}_wins"
+    v = F.col(value_col)
+    return df.join(bounds, group_cols).withColumn(
+        out,
+        F.when(
+            v.isNotNull(),
+            F.least(F.greatest(v, F.col("w_lo")), F.col("w_hi")),
+        ),
+    )

@@ -441,3 +441,37 @@ def cdc_compact(
         ranked.where((F.col("__rn") == 1) & (~F.col("__is_delete")))
         .select("key", "id", "ts_us", *payload_cols)
     )
+
+
+def cardinality_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    distinct_col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group row count + distinct-value cardinality of
+    ``distinct_col`` — the table-stats primitive behind partition
+    audits, join-strategy decisions and dedup-rate dashboards.
+
+    ``exact=True`` (the oracle contract): ``count(DISTINCT x)`` —
+    Catalyst rewrites it through an Expand + two-phase aggregate, so
+    even the exact form partial-aggregates map-side; memory is
+    O(distinct values per group) in the final stage.
+
+    ``exact=False`` is the 100 TB path: ``approx_count_distinct``
+    (HyperLogLog++), a FIXED-SIZE mergeable sketch per group —
+    relative standard deviation ``rsd``, state independent of
+    cardinality.  At 10^12 rows the exact form's final stage holds
+    every distinct key; the sketch holds ~kilobytes per group.
+    tests/test_round6_ops.py bounds the sketch error against the
+    exact count."""
+    agg = (
+        F.countDistinct(F.col(distinct_col))
+        if exact
+        else F.approx_count_distinct(F.col(distinct_col), rsd)
+    )
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        agg.alias("n_distinct"),
+    )

@@ -213,3 +213,107 @@ def test_count_cosine_rescore_semi_join_prunes(spark):
     out = count_cosine_rescore(docs, pairs).collect()
     assert len(out) == 1
     assert out[0].cosine == pytest.approx(1.0, abs=1e-12)
+
+
+def test_winsorize_clips_to_group_band(spark):
+    """Group A: values 0..100 -> p05=5, p95=95 (linear interpolation
+    over 101 evenly spaced values is exact); group B untouched
+    elsewhere.  NULL value stays NULL (never clamped to a bound)."""
+    from kelos_on_kafka_spark.operators.windowing import winsorize
+
+    rows = [(i, "A", float(i)) for i in range(101)]
+    rows += [(200, "B", 1000.0), (201, "B", -1000.0), (202, "B", None)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r.id: r for r in winsorize(df, ["g"], "v", 0.05, 0.95).collect()
+    }
+    assert out[0].v_wins == pytest.approx(5.0)
+    assert out[100].v_wins == pytest.approx(95.0)
+    assert out[50].v_wins == 50.0
+    # B's band comes from B only (p05/p95 of {-1000, 1000})
+    assert out[200].v_wins == out[200].w_hi
+    assert out[201].v_wins == out[201].w_lo
+    assert out[202].v_wins is None
+    assert out[202].w_lo is not None  # bounds still attached
+
+
+def test_winsorize_approx_within_rank_error(spark):
+    """exact=False bounds are observed values whose rank error is
+    <= n/accuracy: with accuracy=10000 and n=2000 the sketch is exact
+    to the nearest observation, so each approx bound sits within one
+    observed step of the exact interpolated bound."""
+    from kelos_on_kafka_spark.operators.windowing import winsorize
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(n)], "id long, g string, v double"
+    )
+    exact = winsorize(df, ["g"], "v", 0.05, 0.95, exact=True).first()
+    approx = winsorize(df, ["g"], "v", 0.05, 0.95, exact=False).first()
+    assert abs(approx.w_lo - exact.w_lo) <= 1.0
+    assert abs(approx.w_hi - exact.w_hi) <= 1.0
+
+
+def test_cardinality_stats_exact_and_hll(spark):
+    """Exact n_distinct is the contract; the HLL++ sketch (exact=False,
+    rsd=0.02) lands within 3*rsd of it — the advertised bound for the
+    fixed-size 100 TB path."""
+    from kelos_on_kafka_spark.plans.maintenance import cardinality_stats
+
+    # 5000 rows, 1000 distinct users, two groups
+    rows = [(i % 2, i % 1000) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, u long")
+    exact = {
+        r.g: r for r in cardinality_stats(df, ["g"], "u").collect()
+    }
+    assert exact[0].n_rows == 2500 and exact[0].n_distinct == 500
+    assert exact[1].n_distinct == 500
+    approx = {
+        r.g: r
+        for r in cardinality_stats(
+            df, ["g"], "u", exact=False, rsd=0.02
+        ).collect()
+    }
+    for g in (0, 1):
+        assert abs(approx[g].n_distinct - exact[g].n_distinct) <= (
+            3 * 0.02 * exact[g].n_distinct
+        )
+
+
+def test_extract_links_and_stats(spark):
+    from kelos_on_kafka_spark.operators.webtext import (
+        extract_links,
+        link_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<a href="https://a.com/x">1</a> '
+                '<a href="https://a.com/y">2</a> '
+                '<a href="http://b.org/z">3</a>',
+                "one two three four",
+            ),
+            (2, "<p>no links</p>", "just text"),
+            (3, None, ""),
+        ],
+        "doc_id long, html string, text string",
+    )
+    links = extract_links(df).collect()
+    got = sorted((r.doc_id, r.pos, r.link) for r in links)
+    assert got == [
+        (1, 0, "https://a.com/x"),
+        (1, 1, "https://a.com/y"),
+        (1, 2, "http://b.org/z"),
+        (2, None, None),  # posexplode_outer keeps linkless pages
+        (3, None, None),
+    ]
+    stats = {r.doc_id: r for r in link_stats(df).collect()}
+    assert stats[1].n_links == 3
+    assert stats[1].n_hosts == 2  # a.com twice, b.org once
+    assert stats[1].link_density == pytest.approx(3 / 4)
+    assert stats[2].n_links == 0 and stats[2].n_hosts == 0
+    assert stats[2].link_density == 0.0
+    assert stats[3].n_links == 0
+    assert stats[3].link_density is None  # empty text -> no density
