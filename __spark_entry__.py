@@ -2690,18 +2690,15 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-page outlink stats (webtext.link_stats) over a
-    deterministic synthetic-HTML fixture: each document's page body
-    is its text wrapped in <p> plus ``doc_id % 4`` anchor tags with
-    host d{(doc_id*31+i) % 97}.example.com — the input_hint html
-    column shape, synthesized in-engine (no external data).  The
-    oracle derives (n_links, n_hosts, link_density) from the SAME
-    formula directly, so any defect in the href extraction, host
-    regex or token accounting mismatches."""
-    from kelos_on_kafka_spark.operators.webtext import link_stats
-
-    d = _t(spark, sf_dir, "documents")
+def _synth_html_pages(d: DataFrame) -> DataFrame:
+    """Deterministic synthetic-HTML fixture shared by the link
+    queries: each document's page body is its text wrapped in <p>
+    plus ``doc_id % 4`` anchor tags with host
+    d{(doc_id*31+i) % 97}.example.com — the input_hint html column
+    shape, synthesized in-engine (no external data).  The oracles
+    derive expected outputs from this FORMULA directly, so any defect
+    in the href extraction, host regex or token accounting
+    mismatches."""
     n = (F.col("doc_id") % 4).cast("long")
     anchors = F.when(
         n >= 1,
@@ -2719,7 +2716,7 @@ def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ),
     ).otherwise(F.lit(""))
-    pages = d.select(
+    return d.select(
         "doc_id",
         "text",
         F.concat(
@@ -2730,7 +2727,37 @@ def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</body></html>"),
         ).alias("html"),
     )
-    return link_stats(pages)
+
+
+def q_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink stats (webtext.link_stats) over the
+    deterministic synthetic-HTML fixture (_synth_html_pages):
+    n_links, distinct hosts and links-per-token density, all from
+    one shuffle-free projection."""
+    from kelos_on_kafka_spark.operators.webtext import link_stats
+
+    return link_stats(_synth_html_pages(_t(spark, sf_dir, "documents")))
+
+
+def q_outlink_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level inlink rollup (webtext.extract_links -> host ->
+    groupBy): n_inlinks + n_pages per target host over the same
+    synthetic-HTML fixture — the crawl-frontier / spam-prior
+    aggregation, exercising the exploded link path end-to-end
+    (posexplode_outer's NULL rows for linkless pages are filtered
+    before the rollup)."""
+    from kelos_on_kafka_spark.operators.webtext import (
+        extract_links,
+        url_host,
+    )
+
+    links = extract_links(
+        _synth_html_pages(_t(spark, sf_dir, "documents"))
+    ).where(F.col("link").isNotNull())
+    return links.groupBy(url_host("link").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("doc_id").alias("n_pages"),
+    )
 
 
 def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3162,6 +3189,19 @@ def q_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling (windowing.robust_scale): each event's
+    value standardized by its event_type's (median, IQR) — the
+    outlier-insensitive z-score.  Exact percentiles are the oracle
+    contract; exact=False swaps the approx_percentile sketch in."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return windowing.robust_scale(ev, ["event_type"], "value").select(
+        "event_id", "event_type", "value", "value_scaled", "r_med", "r_iqr"
+    )
+
+
 def q_stream_gap_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming silence/outage monitor (streaming/gap_stream.py):
     closed gaps > 1h per user once the watermark finalizes them + one
@@ -3251,8 +3291,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 6 (never driver-gated) ---
         "cosine_rescore": q_cosine_rescore,
         "winsorized": q_winsorized,
+        "robust_scaled": q_robust_scaled,
         "cardinality": q_cardinality,
         "link_stats": q_link_stats,
+        "outlink_domains": q_outlink_domains,
         "stream_cdc_table": q_stream_cdc_table,
         "canonical_urls": q_canonical_urls,
         "equidepth_hist": q_equidepth_hist,
@@ -3399,6 +3441,20 @@ def oracle_sql() -> dict[str, str]:
                    b.w_lo, b.w_hi
             FROM events e JOIN b USING (event_type)
         """,
+        "robust_scaled": """
+            WITH s AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.5) AS r_med,
+                     quantile_cont(value, 0.75)
+                       - quantile_cont(value, 0.25) AS r_iqr
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NOT NULL AND s.r_iqr <> 0 THEN
+                     (e.value - s.r_med) / s.r_iqr END AS value_scaled,
+                   s.r_med, s.r_iqr
+            FROM events e JOIN s USING (event_type)
+        """,
         "cardinality": """
             SELECT event_type,
                    epoch_us(ts) // 86400000000 AS day_id,
@@ -3435,6 +3491,21 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(t.n_toks AS DOUBLE)
                    END AS link_density
             FROM tok t LEFT JOIN agg a USING (doc_id)
+        """,
+        "outlink_domains": """
+            -- from the fixture formula (see link_stats), independent
+            -- of the operator's href/host extraction machinery
+            WITH l AS (
+              SELECT d.doc_id,
+                     'd' || CAST((d.doc_id * 31 + i.i) % 97 AS VARCHAR)
+                         || '.example.com' AS host
+              FROM documents d
+              JOIN (SELECT unnest(generate_series(1, 3)) AS i) i
+                ON i.i <= d.doc_id % 4
+            )
+            SELECT host, count(*) AS n_inlinks,
+                   count(DISTINCT doc_id) AS n_pages
+            FROM l GROUP BY host
         """,
         # kelos_topn: stateful order-dependent streaming pipeline, not
         # SQL-expressible — rows-only check (parity vs the NumPy oracle is

@@ -258,3 +258,46 @@ def winsorize(
             F.least(F.greatest(v, F.col("w_lo")), F.col("w_hi")),
         ),
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group ROBUST SCALING: (value - median) / IQR — the
+    outlier-insensitive standardization (scikit-learn's RobustScaler
+    semantics) for feature columns whose tails winsorize can't be
+    allowed to touch.  Adds ``out_col`` (default
+    ``{value_col}_scaled``) plus audit columns ``r_med`` / ``r_iqr``;
+    NULL value stays NULL, and a degenerate group (IQR == 0, over
+    half the mass on one value) yields NULL rather than a division
+    blow-up.
+
+    Same engine shape as ``winsorize``: one shuffle for the per-group
+    quantile agg (exact ``percentile`` = the oracle contract;
+    ``exact=False`` = approx_percentile sketch for unbounded groups),
+    then a broadcast-friendly join back and a codegen'd float chain —
+    subtract and divide are correctly rounded IEEE, so the result is
+    engine-portable bit-for-bit given identical quantiles."""
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    stats = df.groupBy(*group_cols).agg(
+        F.expr(f"{fn}({value_col}, 0.5{acc})").alias("r_med"),
+        (
+            F.expr(f"{fn}({value_col}, 0.75{acc})")
+            - F.expr(f"{fn}({value_col}, 0.25{acc})")
+        ).alias("r_iqr"),
+    )
+    out = out_col or f"{value_col}_scaled"
+    v = F.col(value_col)
+    return df.join(stats, group_cols).withColumn(
+        out,
+        F.when(
+            v.isNotNull() & (F.col("r_iqr") != 0),
+            (v - F.col("r_med")) / F.col("r_iqr"),
+        ),
+    )

@@ -317,3 +317,19 @@ def test_extract_links_and_stats(spark):
     assert stats[2].link_density == 0.0
     assert stats[3].n_links == 0
     assert stats[3].link_density is None  # empty text -> no density
+
+
+def test_robust_scale_median_iqr(spark):
+    """0..100 in one group: median 50, IQR 75-25=50, so value 100
+    scales to 1.0 and value 0 to -1.0; a constant group (IQR 0)
+    yields NULL scaled values, never a division blow-up."""
+    from kelos_on_kafka_spark.operators.windowing import robust_scale
+
+    rows = [(i, "A", float(i)) for i in range(101)]
+    rows += [(300 + j, "C", 7.0) for j in range(4)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r for r in robust_scale(df, ["g"], "v").collect()}
+    assert out[100].v_scaled == pytest.approx(1.0)
+    assert out[0].v_scaled == pytest.approx(-1.0)
+    assert out[50].v_scaled == 0.0
+    assert out[300].r_iqr == 0.0 and out[300].v_scaled is None
