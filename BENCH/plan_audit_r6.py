@@ -33,6 +33,27 @@ def main():
         "adaptive_filter": dict(
             max_exchanges=2, no_python=True, needs_broadcast=True
         ),
+        # session-2 additions: bounds/stats tables must broadcast back
+        # onto the fact side; link_stats must stay a pure map stage
+        # (fan_out's round-robin widen is the only allowed exchange)
+        "winsorized": dict(
+            max_exchanges=3, no_python=True, needs_broadcast=True
+        ),
+        "robust_scaled": dict(
+            max_exchanges=3, no_python=True, needs_broadcast=True
+        ),
+        "cardinality": dict(max_exchanges=3, no_python=True),
+        "link_stats": dict(max_exchanges=1, no_python=True),
+        "outlink_domains": dict(max_exchanges=3, no_python=True),
+        "sq8_codes": dict(
+            max_exchanges=3, no_python=True, needs_broadcast=True
+        ),
+        "sq8_topk": dict(
+            max_exchanges=7, no_python=True, needs_broadcast=True
+        ),
+        "oov_rate": dict(max_exchanges=7, no_python=True),
+        # materialize=True checkpoints pairs+tokens: 86 exchanges -> 4
+        "cosine_rescore": dict(max_exchanges=6, no_python=True),
     }
     failures = []
     for name, rule in checks.items():

@@ -312,6 +312,23 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar embedding quantization (similarity.sq8_codes): per-dim
+    corpus min/max -> uint8-range affine codes, exploded
+    (vec_id, dim, code) for the SQL oracle; sq8_pack is the
+    never-exploding packed deployment form (equivalence pinned in
+    tests/test_round6_ops.py)."""
+    return similarity.sq8_codes(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over the SQ8 codes (similarity.sq8_topk): top-5
+    neighbors for probes 0..9 ranked by INTEGER code dot product —
+    the quantize->search loop closed, no float tolerance anywhere."""
+    packed = similarity.sq8_pack(_t(spark, sf_dir, "embeddings"))
+    return similarity.sq8_topk(packed, probe_ids=list(range(10)), k=5)
+
+
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(
         _t(spark, sf_dir, "documents"), n_hashes=8, shingle_words=3
@@ -2604,6 +2621,16 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus vocab (textstats.oov_stats,
+    min_count=5 — the same vocab as the ``vocab`` query): the
+    gibberish/misencoding quality gate.  Docs whose every token is
+    rare score 1.0; empty docs keep a row with NULL rate."""
+    from kelos_on_kafka_spark.operators.textstats import oov_stats
+
+    return oov_stats(_t(spark, sf_dir, "documents"), min_count=5)
+
+
 def q_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive per-language length gate
     (textstats.adaptive_length_filter): keep docs at/above their
@@ -3292,6 +3319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_rescore": q_cosine_rescore,
         "winsorized": q_winsorized,
         "robust_scaled": q_robust_scaled,
+        "sq8_codes": q_sq8_codes,
+        "sq8_topk": q_sq8_topk,
+        "oov_rate": q_oov_rate,
         "cardinality": q_cardinality,
         "link_stats": q_link_stats,
         "outlink_domains": q_outlink_domains,
@@ -3424,6 +3454,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Shared SQ8 quantization CTE chain (sq8_codes / sq8_topk oracles):
+# per-dim corpus min/max -> affine integer codes, the identical
+# cast->sub->div->mul->floor IEEE chain as similarity.sq8_codes.
+_SQ8_CTES = """e AS (
+              SELECT emb.vec_id, i.i - 1 AS dim,
+                     CAST(emb.embedding[i.i] AS DOUBLE) AS v
+              FROM embeddings emb
+              JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+                ON i.i <= len(emb.embedding)
+            ), s AS (
+              SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim
+            ), codes AS (
+              SELECT e.vec_id, e.dim,
+                     CASE WHEN s.mx > s.mn THEN
+                       least(CAST(255 AS BIGINT),
+                             CAST(floor((e.v - s.mn) / (s.mx - s.mn)
+                                        * 256.0) AS BIGINT))
+                     ELSE CAST(0 AS BIGINT) END AS code
+              FROM e JOIN s USING (dim)
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "cosine_rescore": _cosine_rescore_sql(),
@@ -3440,6 +3492,56 @@ def oracle_sql() -> dict[str, str]:
                      AS value_wins,
                    b.w_lo, b.w_hi
             FROM events e JOIN b USING (event_type)
+        """,
+        "oov_rate": """
+            WITH toks AS (
+              SELECT doc_id, tok AS token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                         trim(coalesce(text, '')), '\\s+')) AS tok
+                FROM documents) u
+              WHERE tok <> ''
+            ), voc AS (
+              SELECT token FROM toks
+              GROUP BY token HAVING count(*) >= 5
+            ), per AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                       AS n_oov
+              FROM toks t LEFT JOIN voc v ON v.token = t.token
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN
+                     CAST(coalesce(p.n_oov, 0) AS DOUBLE)
+                       / CAST(p.n_tokens AS DOUBLE) END AS oov_rate
+            FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        """,
+        "sq8_codes": f"""
+            WITH {_SQ8_CTES}
+            SELECT vec_id, dim, code FROM codes
+        """,
+        "sq8_topk": f"""
+            WITH {_SQ8_CTES},
+            sc AS (
+              SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                     sum(p.code * c.code) AS dot
+              FROM codes p
+              JOIN codes c ON c.dim = p.dim AND c.vec_id <> p.vec_id
+              WHERE p.vec_id < 10
+              GROUP BY p.vec_id, c.vec_id
+            ), r AS (
+              SELECT probe_id, neighbor_id, dot,
+                     row_number() OVER (PARTITION BY probe_id
+                                        ORDER BY dot DESC, neighbor_id)
+                       AS rn
+              FROM sc
+            )
+            SELECT probe_id, rn AS rank, neighbor_id,
+                   CAST(dot AS BIGINT) AS dot
+            FROM r WHERE rn <= 5
         """,
         "robust_scaled": """
             WITH s AS (

@@ -311,6 +311,9 @@ def main() -> None:
         "cardinality",
         "link_stats",
         "outlink_domains",
+        "sq8_codes",
+        "sq8_topk",
+        "oov_rate",
         # stream_cdc_table is staged streaming (untimed, same rule as
         # stream_cdc_state above)
         # stream_cdc_state is NOT timed here: like the other staged

@@ -898,6 +898,7 @@ def count_cosine_rescore(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact token-count COSINE rescoring of candidate pairs — the
     second half of the production candidates->rescore shape (LSH or
@@ -921,7 +922,21 @@ def count_cosine_rescore(
     joins touch O(|pairs| * avg_doc_tokens) rows, not the corpus.
     The dot-product join is keyed on (doc_id, token) — fine-grained
     keys, no hot single key; AQE splits any residual skew.  No
-    Python anywhere: explode/groupBy/join/sum are all codegen'd."""
+    Python anywhere: explode/groupBy/join/sum are all codegen'd.
+
+    ``materialize=True`` (default) localCheckpoints the two BOUNDED
+    intermediates that the rescore DAG reuses — ``pairs`` (referenced
+    4x: both legs of the doc-id union, the dot join, the final left
+    join) and the pair-filtered token table (referenced 3x: norms +
+    both dot sides).  Without it Catalyst re-derives the entire
+    upstream candidate pipeline per reference (plan audit read 86
+    exchanges for the LSH-pairs composition; 4 after) — the
+    same plan-reuse hazard CLAUDE.md pins for iterative self-joins.
+    Both checkpoints hold candidate-scale data (pairs, and tokens of
+    docs in pairs), never the corpus; pass False to keep the operator
+    fully lazy when the caller manages its own persistence."""
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
     toks = (
         fan_out(df)
         .select(
@@ -940,6 +955,8 @@ def count_cosine_rescore(
         .distinct()
     )
     toks = toks.join(in_pairs, "doc_id", "left_semi")
+    if materialize:
+        toks = toks.localCheckpoint(eager=True)
     norms = toks.groupBy("doc_id").agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("n2")
     )

@@ -716,3 +716,152 @@ def cluster_sizes(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+def sq8_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Per-dimension SCALAR QUANTIZATION (SQ8): corpus min/max per
+    dimension -> code = clamp(floor((v - min) / (max - min) * levels))
+    in 0..levels-1 — the standard 4x memory cut for ANN indexes
+    (float32 -> uint8 per component) that PQ's codebooks overshoot
+    when you just need cheap compression.  Returns the EXPLODED
+    (vec_id, dim, code) view — SQL-oracle-checkable; ``sq8_pack``
+    gives the packed array form.
+
+    Engine-portable by construction: min/max are comparisons (no
+    rounding), the affine chain subtract->divide->multiply->floor is
+    correctly rounded IEEE on doubles, and a constant dimension
+    (max == min) codes to 0 instead of dividing by zero.
+
+    Scale shape: one shuffle keyed on dim (<= vector width keys, each
+    a partial min/max — map-side combined); the stats table is |dims|
+    rows so the join back broadcasts.  At 10^12 vectors nothing but
+    (id, dim, value) triples moves, and the packed form never
+    explodes at all."""
+    ex = fan_out(df).select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(levels - 1).cast("long"),
+            F.floor(
+                (F.col("v") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * F.lit(float(levels))
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return ex.join(F.broadcast(stats), "dim").select(
+        F.col(id_col), "dim", code.alias("code")
+    )
+
+
+def sq8_pack(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+) -> DataFrame:
+    """Packed SQ8: (id, codes array<long>, mins, maxs) via a broadcast
+    ONE-ROW stats table (the stream-ANN static-row pattern,
+    ann_stream.py) and an indexed ``transform`` — the corpus never
+    explodes, so this is a pure map stage after the tiny stats agg.
+    Same code values as ``sq8_codes`` (tests pin the equivalence);
+    carrying mins/maxs makes the codes self-describing for
+    de-quantization (error <= (max-min)/levels per component)."""
+    ex = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = (
+        ex.groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mn"))
+            ).alias("mns"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mx"))
+            ).alias("mxs"),
+        )
+        .select(
+            F.transform("mns", lambda s: s.mn).alias("mins"),
+            F.transform("mxs", lambda s: s.mx).alias("maxs"),
+        )
+    )
+    quant = (
+        lambda v, mn, mx: F.when(
+            mx > mn,
+            F.least(
+                F.lit(levels - 1).cast("long"),
+                F.floor((v.cast("double") - mn) / (mx - mn) * F.lit(float(levels))),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda v, i: quant(
+                v,
+                F.element_at(F.col("mins"), i + 1),
+                F.element_at(F.col("maxs"), i + 1),
+            ),
+        ).alias("codes"),
+        "mins",
+        "maxs",
+    )
+
+
+def sq8_topk(
+    packed: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbor search directly over SQ8 codes (``sq8_pack``
+    output): score = INTEGER dot product of the code arrays — the
+    memory-bound ANN scan that quantization exists for (4x less data
+    per row than float32, exact integer arithmetic, so the ranking is
+    engine-portable with no float tolerance at all).  Returns
+    (probe_id, rank, neighbor_id, dot) ranked by (dot desc,
+    neighbor_id asc).
+
+    Same plan shape as ``cosine_topk``: corpus scan -> broadcast join
+    with the tiny probe set -> codegen'd zip_with/aggregate fold ->
+    per-probe window rank.  At 10^12 vectors the scan is the cost and
+    codes cut it 4x; pair with ``ivf_topk``'s cell routing when a
+    full scan is still too much."""
+    corpus = fan_out(packed).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("cv")
+    )
+    probes = corpus.where(
+        F.col("neighbor_id").isin([int(p) for p in probe_ids])
+    ).select(
+        F.col("neighbor_id").alias("probe_id"), F.col("cv").alias("pcv")
+    )
+    joined = corpus.join(F.broadcast(probes)).where(
+        F.col("neighbor_id") != F.col("probe_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("pcv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("probe_id", "neighbor_id", dot.alias("dot"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", "neighbor_id", "dot")
+    )

@@ -648,3 +648,58 @@ def adaptive_length_filter(
         .where(F.col("n_tokens") >= F.col("threshold"))
         .select("doc_id", F.col("grp"), "n_tokens", "threshold")
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document OUT-OF-VOCABULARY rate against the corpus vocab
+    (``build_vocab``, or a caller-supplied one — e.g. yesterday's
+    frozen vocab for drift monitoring): (id, n_tokens, n_oov,
+    oov_rate).  High OOV = gibberish/misencoded/foreign text the
+    tokenizer will shred into bytes — a standard pretraining quality
+    gate; docs with no tokens keep a row (n_tokens 0, rate NULL).
+
+    Scale shape: one token-keyed shuffle join of (doc_id, token)
+    pairs against the vocab (broadcast when the vocab fits — AQE
+    decides from its actual size), then a doc-keyed count — text
+    never shuffles.  The join is on the natural fine-grained token
+    key; hot tokens (stopwords) are exactly the ones IN vocab, so
+    the skew side carries no per-row state."""
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    if vocab is None:
+        vocab = build_vocab(df, text_col=text_col, min_count=min_count)
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("token"),
+    ).where(F.col("token") != "")
+    hit = toks.join(
+        vocab.select("token", F.lit(1).alias("in_v")), "token", "left"
+    )
+    per_doc = hit.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("n_oov", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).alias("oov_rate"),
+        )
+    )

@@ -333,3 +333,91 @@ def test_robust_scale_median_iqr(spark):
     assert out[0].v_scaled == pytest.approx(-1.0)
     assert out[50].v_scaled == 0.0
     assert out[300].r_iqr == 0.0 and out[300].v_scaled is None
+
+
+def test_sq8_codes_and_pack_agree(spark):
+    """Hand-computed codes on a 3-vector corpus; packed form equals
+    the exploded form component-wise; de-quantization error is
+    bounded by one quantization step per component."""
+    from kelos_on_kafka_spark.operators.similarity import (
+        sq8_codes,
+        sq8_pack,
+    )
+
+    # dim0 spans [0, 1]; dim1 is CONSTANT (codes to 0); dim2 spans [-2, 2]
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0, -2.0]), (2, [0.5, 5.0, 0.0]), (3, [1.0, 5.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {
+        (r.vec_id, r.dim): r.code for r in sq8_codes(df).collect()
+    }
+    assert codes[(1, 0)] == 0           # min -> 0
+    assert codes[(2, 0)] == 128         # midpoint -> floor(0.5*256)
+    assert codes[(3, 0)] == 255         # max -> clamped to levels-1
+    assert codes[(1, 1)] == codes[(3, 1)] == 0  # constant dim
+    assert codes[(1, 2)] == 0 and codes[(3, 2)] == 255
+    packed = {r.vec_id: r for r in sq8_pack(df).collect()}
+    for vid in (1, 2, 3):
+        assert packed[vid].codes == [
+            codes[(vid, d)] for d in range(3)
+        ]
+    # de-quantize: value within one step of the original
+    p = packed[3]
+    for d, c in enumerate(p.codes):
+        mn, mx = p.mins[d], p.maxs[d]
+        step = (mx - mn) / 256.0 if mx > mn else 0.0
+        recon = mn + (c + 0.5) * step
+        orig = [1.0, 5.0, 2.0][d]
+        assert abs(recon - orig) <= max(step, 1e-9)
+
+
+def test_oov_stats_rates(spark):
+    """'common' appears 3x (in vocab at min_count=2); 'rare1/2/3'
+    once each (OOV).  Doc 4 is empty -> row kept, NULL rate."""
+    from kelos_on_kafka_spark.operators.textstats import oov_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1"),
+            (2, "common rare2"),
+            (3, "common rare3 common"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in oov_stats(df, min_count=2).collect()}
+    assert out[1].n_tokens == 2 and out[1].n_oov == 1
+    assert out[1].oov_rate == 0.5
+    assert out[3].n_tokens == 3 and out[3].n_oov == 1
+    assert out[3].oov_rate == pytest.approx(1 / 3)
+    assert out[4].n_tokens == 0 and out[4].oov_rate is None
+
+
+def test_sq8_topk_integer_ranking(spark):
+    """3 probes over 6 vectors with known code dots: ranking is by
+    integer dot desc then neighbor_id asc (deterministic ties)."""
+    from kelos_on_kafka_spark.operators.similarity import (
+        sq8_pack,
+        sq8_topk,
+    )
+
+    # vectors along one axis: codes grow with the value
+    df = spark.createDataFrame(
+        [(i, [float(i), float(10 - i)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sq8_topk(sq8_pack(df), probe_ids=[0, 5], k=2).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        # ranks contiguous from 1, dots non-increasing
+        assert [r.rank for r in rows] == [1, 2]
+        assert rows[0].dot >= rows[1].dot
+    # probe 5 = codes [255, 0]; best neighbor is the largest dim-0
+    # code among others -> vec 4
+    assert by_probe[5][0].neighbor_id == 4
+    # probe 0 = codes [0, 255]; best neighbor maximizes dim-1 -> vec 1
+    assert by_probe[0][0].neighbor_id == 1
