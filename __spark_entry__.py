@@ -568,6 +568,14 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (webtext.cohort_retention): users by
+    first-seen UTC day x active-day offset, integer-exact."""
+    from kelos_on_kafka_spark.operators.webtext import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-checkable projection of the streaming relational surface:
     the SAME stream_tumbling_counts wrapper the streaming tests run
@@ -3322,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_codes": q_sq8_codes,
         "sq8_topk": q_sq8_topk,
         "oov_rate": q_oov_rate,
+        "cohort_retention": q_cohort_retention,
         "cardinality": q_cardinality,
         "link_stats": q_link_stats,
         "outlink_domains": q_outlink_domains,
@@ -3518,6 +3527,21 @@ def oracle_sql() -> dict[str, str]:
                      CAST(coalesce(p.n_oov, 0) AS DOUBLE)
                        / CAST(p.n_tokens AS DOUBLE) END AS oov_rate
             FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        """,
+        "cohort_retention": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day_id
+              FROM events
+            ), f AS (
+              SELECT user_id, min(day_id) AS cohort_day
+              FROM d GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   d.day_id - f.cohort_day AS day_offset,
+                   count(*) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "sq8_codes": f"""
             WITH {_SQ8_CTES}

@@ -303,3 +303,37 @@ def link_stats(
             F.size(links).cast("double") / ntok.cast("double"),
         ).alias("link_density"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Classic COHORT RETENTION matrix: users bucketed by first-seen
+    day (cohort), counted on each later day they return —
+    (cohort_day, day_offset, n_users), integer-exact end to end.
+
+    Scale shape: one distinct over (user, day) pairs (two integers —
+    map-side combined), one min-agg per user, one join back on the
+    user key, one final rollup.  No window functions, no text, no
+    floats; at 10^12 events the (user, day) projection is the only
+    thing that ever shuffles."""
+    from kelos_on_kafka_spark.operators.windowing import epoch_us
+
+    d = df.select(
+        F.col(key_col),
+        (epoch_us(ts_col) / F.lit(bucket_us))
+        .cast("long")
+        .alias("day_id"),
+    ).distinct()
+    first = d.groupBy(key_col).agg(F.min("day_id").alias("cohort_day"))
+    return (
+        d.join(first, key_col)
+        .groupBy(
+            "cohort_day",
+            (F.col("day_id") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -88,3 +88,30 @@ def test_domain_capped_deterministic_and_capped(spark):
         ).collect()
     )
     assert a == b  # membership independent of partitioning
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Users cohorted by first-seen day, counted once per (cohort,
+    offset) regardless of how many events they fire that day."""
+    day = 86_400
+    rows = [
+        # user 1: first seen day 0, returns day 0 (twice), day 2
+        (1, 0 * day + 10), (1, 0 * day + 20), (1, 2 * day + 5),
+        # user 2: first seen day 0 only
+        (2, 0 * day + 30),
+        # user 3: first seen day 1, returns day 2
+        (3, 1 * day + 1), (3, 2 * day + 2),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in webtext.cohort_retention(df).collect()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1, 2 on their first day
+        (0, 2): 1,  # user 1 back two days later
+        (1, 0): 1,  # user 3's cohort day
+        (1, 1): 1,  # user 3 back next day
+    }
