@@ -568,6 +568,46 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h per-user rolling count/sum/mean for every event
+    (temporal.rolling_stats) — one RANGE-framed window pass; sum in
+    DECIMAL(18,2)->double, mean as one double division (the portable
+    numeric convention), so the SQL twin matches bit-for-bit."""
+    from kelos_on_kafka_spark.operators.temporal import rolling_stats
+
+    return rolling_stats(_t(spark, sf_dir, "events"))
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (graph.pagerank_integer, 3 iterations) over
+    the domain link graph of the synthetic-HTML fixture: src = the
+    page's own domain d{doc_id % 97}.example.com, dst = each outlink
+    host via the REAL extract_links/url_host path — the oracle
+    re-derives the edges from the fixture FORMULA, so href/host
+    extraction defects mismatch, while the all-integer rank arithmetic
+    (floor division everywhere) is engine-exact with no float caveats."""
+    from kelos_on_kafka_spark.operators.graph import pagerank_integer
+    from kelos_on_kafka_spark.operators.webtext import (
+        extract_links,
+        url_host,
+    )
+
+    links = extract_links(
+        _synth_html_pages(_t(spark, sf_dir, "documents"))
+    ).where(F.col("link").isNotNull())
+    edges = links.select(
+        F.concat(
+            F.lit("d"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src"),
+        url_host("link").alias("dst"),
+    )
+    return pagerank_integer(edges, iterations=3).select(
+        F.col("node").alias("domain"), "rank"
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (webtext.cohort_retention): users by
     first-seen UTC day x active-day offset, integer-exact."""
@@ -3324,6 +3364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new query at the end."""
     return {
         # --- NEW in round 6 (never driver-gated) ---
+        "rolling_stats": q_rolling_stats,
+        "domain_pagerank": q_domain_pagerank,
         "cosine_rescore": q_cosine_rescore,
         "winsorized": q_winsorized,
         "robust_scaled": q_robust_scaled,
@@ -3527,6 +3569,78 @@ def oracle_sql() -> dict[str, str]:
                      CAST(coalesce(p.n_oov, 0) AS DOUBLE)
                        / CAST(p.n_tokens AS DOUBLE) END AS oov_rate
             FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        """,
+        "rolling_stats": """
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   CAST(count(*) OVER w AS BIGINT) AS n_trail,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE) AS sum_trail,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                        AS DOUBLE)
+                     / CAST(count(*) OVER w AS DOUBLE) AS avg_trail
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
+        # edges re-derived from the fixture formula (see outlink_domains),
+        # then 3 unrolled integer-PageRank iterations — all BIGINT floor
+        # division, so engine-exact
+        "domain_pagerank": """
+            WITH l AS (
+              SELECT 'd' || CAST(d.doc_id % 97 AS VARCHAR)
+                         || '.example.com' AS src,
+                     'd' || CAST((d.doc_id * 31 + i.i) % 97 AS VARCHAR)
+                         || '.example.com' AS dst
+              FROM documents d
+              JOIN (SELECT unnest(generate_series(1, 3)) AS i) i
+                ON i.i <= d.doc_id % 4
+            ),
+            e AS (SELECT DISTINCT src, dst FROM l WHERE src <> dst),
+            nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+            r0 AS (
+              SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+            ),
+            i1 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inc
+              FROM e JOIN r0 r ON r.node = e.src
+                     JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ),
+            r1 AS (
+              SELECT n.node,
+                     CAST(150000 + (85 * coalesce(i.inc, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN i1 i ON i.node = n.node
+            ),
+            i2 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inc
+              FROM e JOIN r1 r ON r.node = e.src
+                     JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            ),
+            r2 AS (
+              SELECT n.node,
+                     CAST(150000 + (85 * coalesce(i.inc, 0)) // 100
+                          AS BIGINT) AS rank
+              FROM nodes n LEFT JOIN i2 i ON i.node = n.node
+            ),
+            i3 AS (
+              SELECT e.dst AS node,
+                     CAST(sum(r.rank // d.outdeg) AS BIGINT) AS inc
+              FROM e JOIN r2 r ON r.node = e.src
+                     JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            )
+            SELECT n.node AS domain,
+                   CAST(150000 + (85 * coalesce(i.inc, 0)) // 100
+                        AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN i3 i ON i.node = n.node
         """,
         "cohort_retention": """
             WITH d AS (

@@ -390,3 +390,61 @@ def detect_gaps(
             (F.col("__next_us") - F.col("__ts_us")).alias("gap_us"),
         )
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    trail_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Per-event TRAILING time-range aggregates: for every event, the
+    count / sum / mean of ``value_col`` over the key's events in the
+    inclusive interval ``[ts - trail_us, ts]`` — the rolling feature
+    primitive (request-rate, spend-velocity, rolling engagement) of a
+    time-series feature pipeline.
+
+    One RANGE-framed window pass: shuffle on the key, sort by event
+    time, then Spark's window operator streams the sorted run keeping
+    only the frame's rows buffered (bounded by events-per-key-per-
+    trail window, not per key).  At 10^12 events the single shuffle
+    carries (key, ts_us, value) triples only; hot keys funnel through
+    one task each — the skew guard is key granularity (user/site), as
+    for every per-key total order (see module docstring).
+
+    Engine-portable numerics: the sum runs in DECIMAL(18,2) and is
+    cast to double at the end (the repo-wide aggregate convention);
+    count is exact BIGINT; the mean is ONE double division of those
+    two — no float accumulation anywhere, so an ANSI-SQL twin
+    (``RANGE BETWEEN trail PRECEDING AND CURRENT ROW``) matches
+    bit-for-bit.  RANGE frames include all ts peers on both engines,
+    so ties need no ordering tiebreak."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__ts_us"))
+        .rangeBetween(-trail_us, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = (
+        F.sum(F.col(value_col).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(key_col),
+            epoch_us(ts_col).alias("__ts_us"),
+            F.col(value_col),
+        )
+        .select(
+            id_col,
+            key_col,
+            F.col("__ts_us").alias("ts_us"),
+            n.alias("n_trail"),
+            s.alias("sum_trail"),
+            (s / n.cast("double")).alias("avg_trail"),
+        )
+    )

@@ -344,3 +344,36 @@ def test_funnel_steps_property_vs_python_reference(spark, events, within):
             (s[2] - s[0]) if matched else -1,
         )
     assert got == want
+
+
+def test_rolling_stats_trailing_range(spark):
+    """Inclusive [ts-trail, ts] frame, per-key isolation, NULL values
+    skipped by sum but counted by n_trail, tie peers all in-frame."""
+    from kelos_on_kafka_spark.operators.temporal import rolling_stats
+
+    rows = [
+        # user 0: 10s, 1800s, 3610s (trails back to 10s inclusive)
+        (1, 10, 0, 1.0),
+        (2, 1800, 0, 2.5),
+        (3, 3610, 0, 4.0),
+        # user 1: NULL value still counted in n_trail
+        (4, 100, 1, 7.0),
+        (5, 100, 1, None),  # tie peer: same ts, both see both
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec long, user_id long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        "value",
+    )
+    got = {
+        r.event_id: (r.n_trail, r.sum_trail, r.avg_trail)
+        for r in rolling_stats(df).collect()
+    }
+    assert got[1] == (1, 1.0, 1.0)
+    assert got[2] == (2, 3.5, 1.75)
+    assert got[3] == (3, 7.5, 2.5)
+    assert got[4] == (2, 7.0, 3.5)
+    assert got[5] == got[4]  # RANGE peers share the frame
