@@ -314,6 +314,9 @@ def main() -> None:
         "sq8_codes",
         "sq8_topk",
         "oov_rate",
+        "cohort_retention",
+        "rolling_stats",
+        "domain_pagerank",
         # stream_cdc_table is staged streaming (untimed, same rule as
         # stream_cdc_state above)
         # stream_cdc_state is NOT timed here: like the other staged

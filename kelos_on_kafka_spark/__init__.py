@@ -70,12 +70,18 @@ __all__ = [
     "image_phash",
     "ahash64",
     "hamming_near_dup_pairs",
+    "rolling_stats",
+    "cohort_retention",
+    "pagerank_integer",
 ]
 __version__ = "0.4.0"
 
 _LAZY = {
     "stream_near_dup_pairs": ("kelos_on_kafka_spark.streaming.dedup_stream", None),
     "asof_join": ("kelos_on_kafka_spark.operators.temporal", None),
+    "rolling_stats": ("kelos_on_kafka_spark.operators.temporal", None),
+    "cohort_retention": ("kelos_on_kafka_spark.operators.webtext", None),
+    "pagerank_integer": ("kelos_on_kafka_spark.operators.graph", None),
     "sequence_matches": ("kelos_on_kafka_spark.operators.temporal", None),
     "salted_join": ("kelos_on_kafka_spark.plans.skew", None),
     "salted_topn": ("kelos_on_kafka_spark.plans.skew", None),
