@@ -60,10 +60,15 @@ def pagerank_integer(
         )
         .distinct()
     )
+    # every iteration re-reads edges/nodes/degrees: materialize them
+    # once (same pattern as the connected-components operator) so the
+    # source scan + distinct shuffles run once, not once per iteration
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     base = scale - (scale * damping_num) // damping_den
