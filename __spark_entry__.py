@@ -2669,6 +2669,22 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding of the corpus against its own vocab
+    (textstats.encode_tokens over build_vocab min_count=5 — the same
+    vocab as the ``vocab`` query): long-format (doc_id, pos, token,
+    token_id) with OOV -> -1, the encoded stream chunking/packing
+    consume.  Broadcast vocab join — the exploded token stream never
+    shuffles."""
+    from kelos_on_kafka_spark.operators.textstats import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return encode_tokens(docs, build_vocab(docs, min_count=5))
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus vocab (textstats.oov_stats,
     min_count=5 — the same vocab as the ``vocab`` query): the
@@ -3364,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new query at the end."""
     return {
         # --- NEW in round 6 (never driver-gated) ---
+        "encode_tokens": q_encode_tokens,
         "rolling_stats": q_rolling_stats,
         "domain_pagerank": q_domain_pagerank,
         "cosine_rescore": q_cosine_rescore,
@@ -3979,6 +3996,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    min(value) AS lo, max(value) AS hi
             FROM b GROUP BY event_type, bucket
+        """,
+        "encode_tokens": """
+            WITH arr AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+') AS l
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+                     unnest(l) AS token
+              FROM arr
+            ), allt AS (
+              SELECT unnest(regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, count(*) AS n
+              FROM allt WHERE token <> '' GROUP BY token
+            ), v AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                          AS BIGINT) AS token_id
+              FROM c WHERE n >= 5
+            )
+            SELECT t.doc_id, t.pos, t.token,
+                   CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+            FROM toks t LEFT JOIN v USING (token)
+            WHERE t.token <> ''
         """,
         "vocab": """
             WITH toks AS (

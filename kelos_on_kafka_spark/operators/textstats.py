@@ -614,6 +614,48 @@ def build_vocab(
     )
 
 
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Token-id ENCODING — the step after ``build_vocab`` in a
+    tokenizer pipeline: each document's whitespace tokens, in
+    position order, mapped to their vocab ids; out-of-vocabulary
+    tokens get ``oov_id``.  Returns (id, pos, token, token_id) rows —
+    the long-format encoded corpus that ``chunk_documents`` /
+    ``pack_sequences`` consume downstream.
+
+    Scale shape: the vocab is vocabulary-sized (~10^5-10^6 rows no
+    matter the corpus), so the id lookup is a BROADCAST hash join —
+    the exploded token stream never shuffles at all; the whole
+    operator is one map stage over the corpus scan.  Documents whose
+    text is NULL/empty produce no rows (they have no tokens to
+    encode); posexplode positions are contiguous from 0 because the
+    \\s+ split of a trimmed non-empty text never yields an empty
+    token."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            )
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    return toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        "token",
+        F.coalesce(F.col("token_id"), F.lit(int(oov_id)).cast("long")).alias(
+            "token_id"
+        ),
+    )
+
+
 def adaptive_length_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -421,3 +421,33 @@ def test_sq8_topk_integer_ranking(spark):
     assert by_probe[5][0].neighbor_id == 4
     # probe 0 = codes [0, 255]; best neighbor maximizes dim-1 -> vec 1
     assert by_probe[0][0].neighbor_id == 1
+
+
+def test_encode_tokens_positions_and_oov(spark):
+    from kelos_on_kafka_spark.operators.textstats import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, " a  b\td"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, min_count=2)  # b->0, a->1
+    rows = sorted(
+        (r.doc_id, r.pos, r.token, r.token_id)
+        for r in encode_tokens(df, vocab).collect()
+    )
+    # doc 1: positions contiguous 0..5; c is OOV -> -1
+    assert rows[:6] == [
+        (1, 0, "b", 0),
+        (1, 1, "b", 0),
+        (1, 2, "b", 0),
+        (1, 3, "a", 1),
+        (1, 4, "a", 1),
+        (1, 5, "c", -1),
+    ]
+    # doc 2: leading/internal whitespace collapsed, positions from 0
+    assert rows[6:] == [(2, 0, "a", 1), (2, 1, "b", 0), (2, 2, "d", -1)]
+    # NULL and empty text produce no rows
+    assert len(rows) == 9
