@@ -451,3 +451,47 @@ def test_encode_tokens_positions_and_oov(spark):
     assert rows[6:] == [(2, 0, "a", 1), (2, 1, "b", 0), (2, 2, "d", -1)]
     # NULL and empty text produce no rows
     assert len(rows) == 9
+
+
+def test_encode_tokens_roundtrip_reconstructs_text(spark):
+    """Property: with min_count=1 (full vocab) no token is OOV, and
+    decoding ids back through the vocab then re-joining on position
+    reproduces each document's whitespace-normalized text exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kelos_on_kafka_spark.operators.textstats import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    rng = random.Random(63)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "yy", "z"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = build_vocab(df, min_count=1)
+    enc = encode_tokens(df, vocab)
+    assert enc.where(F.col("token_id") == -1).count() == 0
+    decoded = (
+        enc.alias("e")
+        .join(vocab.alias("v"), F.col("e.token_id") == F.col("v.token_id"))
+        .groupBy("e.doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("e.pos", F.col("v.token")))
+                    ),
+                    lambda s: s.token,
+                ),
+            ).alias("text")
+        )
+    )
+    got = {r.doc_id: r.text for r in decoded.collect()}
+    want = {i: " ".join(t.split()) for i, t in docs}
+    assert got == want
