@@ -2685,6 +2685,22 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_tokens(docs, build_vocab(docs, min_count=5))
 
 
+def q_packed_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences
+    (chunking.pack_token_ids): the encoded corpus (same min_count=5
+    vocab as ``vocab``/``encode_tokens``) laid end-to-end per source
+    shard and cut every 256 ids — one row per (part, seq_id) with the
+    md5 of the comma-joined ids.  The model-input layout the whole
+    vocab -> encode -> pack path exists to produce."""
+    from kelos_on_kafka_spark.operators.chunking import pack_token_ids
+    from kelos_on_kafka_spark.operators.textstats import build_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_token_ids(
+        docs, build_vocab(docs, min_count=5), max_tokens=256
+    )
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc OOV rate vs the corpus vocab (textstats.oov_stats,
     min_count=5 — the same vocab as the ``vocab`` query): the
@@ -3381,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- NEW in round 6 (never driver-gated) ---
         "encode_tokens": q_encode_tokens,
+        "packed_ids": q_packed_ids,
         "rolling_stats": q_rolling_stats,
         "domain_pagerank": q_domain_pagerank,
         "cosine_rescore": q_cosine_rescore,
@@ -4025,6 +4042,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
             FROM toks t LEFT JOIN v USING (token)
             WHERE t.token <> ''
+        """,
+        "packed_ids": """
+            WITH arr AS (
+              SELECT source AS part, doc_id,
+                     regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+') AS l
+              FROM documents
+            ), toks AS (
+              SELECT part, doc_id,
+                     CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+                     unnest(l) AS token
+              FROM arr
+            ), allt AS (
+              SELECT unnest(regexp_split_to_array(
+                       trim(coalesce(text, '')), '\\s+')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, count(*) AS n
+              FROM allt WHERE token <> '' GROUP BY token
+            ), v AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                          AS BIGINT) AS token_id
+              FROM c WHERE n >= 5
+            ), enc AS (
+              SELECT t.part, t.doc_id, t.pos,
+                     CAST(coalesce(v.token_id, -1) AS BIGINT) AS token_id
+              FROM toks t LEFT JOIN v USING (token)
+              WHERE t.token <> ''
+            ), cnt AS (
+              SELECT part, doc_id, count(*) AS n
+              FROM enc GROUP BY part, doc_id
+            ), st AS (
+              SELECT part, doc_id,
+                     coalesce(sum(n) OVER (
+                       PARTITION BY part ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS doc_start
+              FROM cnt
+            ), placed AS (
+              SELECT e.part,
+                     CAST(st.doc_start + e.pos AS BIGINT) AS g,
+                     e.token_id
+              FROM enc e JOIN st USING (part, doc_id)
+            )
+            SELECT part, CAST(g // 256 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   md5(string_agg(CAST(token_id AS VARCHAR), ','
+                       ORDER BY g)) AS ids_md5
+            FROM placed GROUP BY part, seq_id
         """,
         "vocab": """
             WITH toks AS (

@@ -113,3 +113,100 @@ def pack_sequences(
         F.expr(f"__cum_prev div {max_tokens}").alias("seq_id"),
         F.expr(f"__cum_prev % {max_tokens}").alias("seq_offset"),
     )
+
+
+def pack_token_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+    max_tokens: int = 256,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Materialized packed training sequences: the composition of
+    ``textstats.encode_tokens`` and ``pack_sequences`` that actually
+    emits the model-input rows.  Within each ``part_col`` shard,
+    documents' encoded token-id streams are laid end-to-end in
+    ``id_col`` order and cut every ``max_tokens`` ids; one row per
+    (part, seq_id) carries the sequence's token count and the md5 of
+    its comma-joined ids — the digest stands in for the id array so
+    the output (and the DuckDB oracle hash) stays narrow.
+
+    Counting convention: tokenless docs (NULL/empty text) occupy NO
+    slots — the packer runs over the *encoded* stream, where they have
+    no rows.  (``pack_sequences`` counts raw split tokens, where an
+    empty doc is the 1-token [''] — that operator reports layout for
+    re-slicing text; this one packs ids, so the encoded stream is the
+    authority.)
+
+    Scale shape: the vocab lookup is a broadcast join (vocabulary-
+    sized right side); doc start offsets come from a per-shard window
+    over the DOC-level count table (corpus-row-count rows, not
+    tokens), joined back to the token stream on the doc id — one hash
+    shuffle of (ids + positions), never text; the final groupBy holds
+    at most ``max_tokens`` ids per group (bounded collect_list)."""
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    docs = fan_out(docs)  # small scans arrive 1-partition; the
+    # explode over every token is the compute, so widen first
+    toks = docs.select(
+        F.col(part_col).alias("part"),
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(
+                F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            )
+        ).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    enc = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "part",
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce(
+            F.col("token_id"), F.lit(int(oov_id)).cast("long")
+        ).alias("token_id"),
+    )
+    counts = enc.groupBy("part", "doc_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy("part").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = counts.select(
+        "part",
+        "doc_id",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__doc_start"),
+    )
+    placed = enc.join(starts, ["part", "doc_id"]).select(
+        "part",
+        (F.col("__doc_start") + F.col("pos")).alias("__g"),
+        "token_id",
+    )
+    return (
+        placed.select(
+            "part",
+            F.expr(f"__g div {max_tokens}").alias("seq_id"),
+            F.expr(f"__g % {max_tokens}").alias("__pos_in_seq"),
+            "token_id",
+        )
+        .groupBy("part", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("__pos_in_seq", "token_id")
+                            )
+                        ),
+                        lambda s: s.token_id.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_md5"),
+        )
+    )

@@ -495,3 +495,35 @@ def test_encode_tokens_roundtrip_reconstructs_text(spark):
     got = {r.doc_id: r.text for r in decoded.collect()}
     want = {i: " ".join(t.split()) for i, t in docs}
     assert got == want
+
+
+def test_pack_token_ids_boundaries_and_empty_docs(spark):
+    from kelos_on_kafka_spark.operators.chunking import pack_token_ids
+    from kelos_on_kafka_spark.operators.textstats import build_vocab
+
+    # shard A: 5 + 0 (empty doc occupies NO slots) + 4 tokens = 9
+    # total -> with max_tokens=4: seqs of 4, 4, 1
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a", "A"),
+            (2, "", "A"),
+            (3, "b b a zz", "A"),
+            (4, "a", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    vocab = build_vocab(df, min_count=2)  # a->0, b->1; zz OOV
+    rows = {
+        (r.part, r.seq_id): (r.n_tokens, r.ids_md5)
+        for r in pack_token_ids(df, vocab, max_tokens=4).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc1 ids: a b a b a -> 0 1 0 1 0 ; doc3: b b a zz -> 1 1 0 -1
+    # shard A stream: 0 1 0 1 | 0 1 1 0 | -1
+    assert rows[("A", 0)] == (4, md5("0,1,0,1"))
+    assert rows[("A", 1)] == (4, md5("0,1,1,0"))
+    assert rows[("A", 2)] == (1, md5("-1"))
+    assert rows[("B", 0)] == (1, md5("0"))
+    assert len(rows) == 4
