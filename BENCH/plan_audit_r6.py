@@ -54,6 +54,14 @@ def main():
         "oov_rate": dict(max_exchanges=7, no_python=True),
         # materialize=True checkpoints pairs+tokens: 86 exchanges -> 4
         "cosine_rescore": dict(max_exchanges=6, no_python=True),
+        # vocab lookup must broadcast; exploded token stream must not
+        # sort-merge anywhere
+        "encode_tokens": dict(
+            max_exchanges=4, no_python=True, needs_broadcast=True
+        ),
+        "packed_ids": dict(
+            max_exchanges=8, no_python=True, needs_broadcast=True
+        ),
     }
     failures = []
     for name, rule in checks.items():
