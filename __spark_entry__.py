@@ -3227,6 +3227,19 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs
+    (dedup.containment_pairs): |A∩B| / min(|A|,|B|) >= 30% — catches
+    the short-doc-wrapped-in-long-doc shape symmetric Jaccard
+    under-scores.  Same inverted-index plan and integer rational
+    threshold as ngram_jaccard; 30% (vs the library's 80% default)
+    so the synthetic corpus, which has near-dups but few true
+    subsets, yields a non-trivial pair set to hash."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), min_containment_pct=30
+    )
+
+
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed END-TO-END cleaning pipeline in one query — the
     'switch your pipeline to this engine' story: Gopher-style quality
@@ -3398,6 +3411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 6 (never driver-gated) ---
         "encode_tokens": q_encode_tokens,
         "packed_ids": q_packed_ids,
+        "containment": q_containment,
         "rolling_stats": q_rolling_stats,
         "domain_pagerank": q_domain_pagerank,
         "cosine_rescore": q_cosine_rescore,
@@ -4416,6 +4430,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fingerprint, min(doc_id) AS keeper_id, count(*) AS n_docs
             FROM f GROUP BY 1
+        """,
+        "containment": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+              FROM toks
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i:i+2], ' ') AS shingle
+              FROM idx
+              WHERE array_to_string(t[i:i+2], ' ') != ''
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), capped AS (
+              SELECT doc_id, shingle FROM sh
+              QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM capped a JOIN capped b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 100 * inter >= 30 * least(sa.n_sh, sb.n_sh)
         """,
         "ngram_jaccard": """
             WITH toks AS (

@@ -319,6 +319,7 @@ def main() -> None:
         "domain_pagerank",
         "encode_tokens",
         "packed_ids",
+        "containment",
         # stream_cdc_table is staged streaming (untimed, same rule as
         # stream_cdc_state above)
         # stream_cdc_state is NOT timed here: like the other staged

@@ -995,3 +995,59 @@ def count_cosine_rescore(
             ).alias("cosine"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    min_containment_pct: int = 80,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by shingle containment:
+    containment(A,B) = |A∩B| / min(|A|,|B|) — the max of the two
+    directed containments, which flags a document whose shingle set is
+    (nearly) a SUBSET of another's.  Symmetric Jaccard misses exactly
+    this case: a short page wrapped verbatim inside a longer one
+    scores inter/union ≈ |A|/|B| → 0 as the wrapper grows, while its
+    containment stays ≈ 1.  The boilerplate-wrapper / quoted-article
+    shape is the dominant near-dup mode in web corpora that Jaccard
+    thresholds under-catch.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (shared-shingle
+    join, never cross; ``max_doc_freq`` caps degenerate shingles with
+    the same lower-bound semantics), same integer-exact rational
+    threshold: keep pairs with 100*inter >= pct*least(n_a, n_b).
+    Returns (doc_a, doc_b, inter, n_a, n_b), doc_a < doc_b."""
+    sh = (
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).where(F.col("df") <= max_doc_freq)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(
+            100 * F.col("inter")
+            >= min_containment_pct * F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b")
+    )

@@ -527,3 +527,32 @@ def test_pack_token_ids_boundaries_and_empty_docs(spark):
     assert rows[("A", 2)] == (1, md5("-1"))
     assert rows[("B", 0)] == (1, md5("0"))
     assert len(rows) == 4
+
+
+def test_containment_pairs_catches_wrapped_subset(spark):
+    from kelos_on_kafka_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = (
+        "nav home about " + core + " footer contact terms privacy "
+        "copyright sitemap feedback careers press blog archive"
+    )
+    df = spark.createDataFrame(
+        [(1, core), (2, wrapper), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.n_a, r.n_b)
+        for r in containment_pairs(df, min_containment_pct=80).collect()
+    }
+    # doc1's 6 shingles all appear inside doc2 -> containment 100%
+    assert (1, 2) in got
+    inter, n_a, n_b = got[(1, 2)]
+    assert inter == n_a == 6 and n_b > 2 * n_a
+    assert all(p == (1, 2) for p in got)
+    # symmetric Jaccard at the same 80% threshold misses it
+    jac = ngram_jaccard_pairs(df, min_jaccard_pct=80).collect()
+    assert jac == []
