@@ -556,3 +556,23 @@ def test_containment_pairs_catches_wrapped_subset(spark):
     # symmetric Jaccard at the same 80% threshold misses it
     jac = ngram_jaccard_pairs(df, min_jaccard_pct=80).collect()
     assert jac == []
+
+
+def test_pack_token_ids_partition_order_invariant(spark):
+    """Digest output must not depend on scan partitioning or row
+    arrival order — repartitioned/shuffled input packs identically."""
+    from kelos_on_kafka_spark.operators.chunking import pack_token_ids
+    from kelos_on_kafka_spark.operators.textstats import build_vocab
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = build_vocab(docs, min_count=5)
+    base = sorted(
+        tuple(r)
+        for r in pack_token_ids(docs, vocab, max_tokens=64).collect()
+    )
+    shuffled = docs.repartition(13, "lang")
+    again = sorted(
+        tuple(r)
+        for r in pack_token_ids(shuffled, vocab, max_tokens=64).collect()
+    )
+    assert base == again and len(base) > 100
