@@ -3240,6 +3240,24 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates->verify with exact edit distance
+    (dedup.edit_distance_verify): the portable LSH banding of
+    minhash_lsh_pairs filtered to pairs whose levenshtein over the
+    first 1000 chars is <= 30% of the longer text.  Character-level
+    confirmation of set-similarity candidates — both engines ship the
+    classic levenshtein builtin, so the oracle is the same expression
+    over the same pair CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=16, shingle_words=3)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_bands=4, rows_per_band=4, portable=True
+    )
+    return dedup.edit_distance_verify(
+        docs, pairs, max_dist_pct=30, prefix_chars=1000
+    )
+
+
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed END-TO-END cleaning pipeline in one query — the
     'switch your pipeline to this engine' story: Gopher-style quality
@@ -3412,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens": q_encode_tokens,
         "packed_ids": q_packed_ids,
         "containment": q_containment,
+        "edit_verify": q_edit_verify,
         "rolling_stats": q_rolling_stats,
         "domain_pagerank": q_domain_pagerank,
         "cosine_rescore": q_cosine_rescore,
@@ -4594,6 +4613,27 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_pairs_sql(
             n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
         ),
+        "edit_verify": f"""
+            WITH {_minhash_pairs_ctes(
+                n_hashes=16, shingle_words=3, n_bands=4, rows_per_band=4
+            )},
+            v AS (
+              SELECT p.doc_a, p.doc_b,
+                     CAST(levenshtein(
+                       substring(coalesce(da.text, ''), 1, 1000),
+                       substring(coalesce(db.text, ''), 1, 1000))
+                       AS BIGINT) AS dist,
+                     CAST(length(substring(coalesce(da.text, ''), 1, 1000))
+                          AS BIGINT) AS len_a,
+                     CAST(length(substring(coalesce(db.text, ''), 1, 1000))
+                          AS BIGINT) AS len_b
+              FROM pairs p
+              JOIN documents da ON da.doc_id = p.doc_a
+              JOIN documents db ON db.doc_id = p.doc_b
+            )
+            SELECT doc_a, doc_b, dist, len_a, len_b
+            FROM v WHERE 100 * dist <= 30 * greatest(len_a, len_b)
+        """,
         # the streaming stateful query converges to the batch pair set
         # when every doc is within the horizon (constant event time)
         "stream_near_dups": _minhash_pairs_sql(

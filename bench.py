@@ -320,6 +320,7 @@ def main() -> None:
         "encode_tokens",
         "packed_ids",
         "containment",
+        "edit_verify",
         # stream_cdc_table is staged streaming (untimed, same rule as
         # stream_cdc_state above)
         # stream_cdc_state is NOT timed here: like the other staged

@@ -576,3 +576,29 @@ def test_pack_token_ids_partition_order_invariant(spark):
         for r in pack_token_ids(shuffled, vocab, max_tokens=64).collect()
     )
     assert base == again and len(base) > 100
+
+
+def test_edit_distance_verify_thresholds(spark):
+    from kelos_on_kafka_spark.operators.dedup import edit_distance_verify
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),  # dist 2
+            (3, "a completely different sentence altogether here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.dist, r.len_a, r.len_b)
+        for r in edit_distance_verify(df, pairs, max_dist_pct=10).collect()
+    }
+    # 1-2 survives (dist 2 over len 43/44); 1-3 far; 1-4 NULL -> '' ->
+    # dist = len_a = 43 > 10% -> dropped, never NULL-crashes
+    assert set(got) == {(1, 2)}
+    dist, len_a, len_b = got[(1, 2)]
+    assert dist == 2 and len_a == 43 and len_b == 44
