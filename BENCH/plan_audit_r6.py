@@ -62,6 +62,13 @@ def main():
         "packed_ids": dict(
             max_exchanges=8, no_python=True, needs_broadcast=True
         ),
+        # inverted-index / candidate-pair joins: shuffle-heavy by
+        # design but bounded, and the size tables must broadcast
+        # 13 == ngram_jaccard's established inverted-index plan shape
+        "containment": dict(
+            max_exchanges=13, no_python=True, needs_broadcast=True
+        ),
+        "edit_verify": dict(max_exchanges=14, no_python=True),
     }
     failures = []
     for name, rule in checks.items():
