@@ -367,6 +367,12 @@ def main() -> None:
         "knn_lsh_fast": lambda: _sim.lsh_bucketed_topk(
             emb_df, probe_ids, k=5, n_planes=8
         ),
+        "ngram_jaccard_fast": lambda: _dd.ngram_jaccard_pairs(
+            docs_df, hash_shingles=True
+        ),
+        "containment_fast": lambda: _dd.containment_pairs(
+            docs_df, min_containment_pct=30, hash_shingles=True
+        ),
     }
     for name, make in fast_variants.items():
         t0 = time.perf_counter()

@@ -159,6 +159,7 @@ def ngram_jaccard_pairs(
     min_jaccard_pct: int = 10,
     max_doc_freq: int = 1000,
     log_dropped: bool = False,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (shingle-inverted-index join, never a cross join).  Integer-only
@@ -174,15 +175,29 @@ def ngram_jaccard_pairs(
     together ONLY by super-frequent boilerplate are suppressed, which is
     the intended dedup semantics.  Set ``log_dropped=True`` to eagerly
     count and log the dropped shingles (one extra small aggregate job) —
-    no silent caps."""
+    no silent caps.
+
+    ``hash_shingles=True`` is the deployment fast path: shingle STRINGS
+    are replaced by their JVM-native xxhash64 before the distinct and
+    the inverted-index join, so the two shuffles move 8-byte longs
+    instead of ~20-40-byte n-gram text (several-fold smaller shuffle
+    payload at corpus scale).  Result-identical barring a 64-bit hash
+    collision between two distinct shingles of the same corpus
+    (~n^2/2^65 — negligible at any real vocabulary size, and a
+    collision can only ADD one spurious shared shingle to a pair's
+    intersection).  The oracle/driver contract runs the raw-string
+    form; like simhash/minhash ``fast`` modes the hashed form is
+    library-only."""
     sh = (
         fan_out(df).select(
             F.col(id_col).alias("doc_id"),
             F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
-        .distinct()
     )
+    if hash_shingles:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     capped = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
@@ -1004,6 +1019,7 @@ def containment_pairs(
     shingle_words: int = 3,
     min_containment_pct: int = 80,
     max_doc_freq: int = 1000,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by shingle containment:
     containment(A,B) = |A∩B| / min(|A|,|B|) — the max of the two
@@ -1019,15 +1035,20 @@ def containment_pairs(
     join, never cross; ``max_doc_freq`` caps degenerate shingles with
     the same lower-bound semantics), same integer-exact rational
     threshold: keep pairs with 100*inter >= pct*least(n_a, n_b).
-    Returns (doc_a, doc_b, inter, n_a, n_b), doc_a < doc_b."""
+    Returns (doc_a, doc_b, inter, n_a, n_b), doc_a < doc_b.
+    ``hash_shingles=True`` is the same deployment fast path as
+    ``ngram_jaccard_pairs``: xxhash64 the shingles so the shuffles
+    move longs, not n-gram text (library-only; oracle runs raw)."""
     sh = (
         fan_out(df).select(
             F.col(id_col).alias("doc_id"),
             F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
         )
         .where(F.col("shingle") != "")
-        .distinct()
     )
+    if hash_shingles:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     capped = sh.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))

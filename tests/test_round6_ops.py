@@ -602,3 +602,24 @@ def test_edit_distance_verify_thresholds(spark):
     assert set(got) == {(1, 2)}
     dist, len_a, len_b = got[(1, 2)]
     assert dist == 2 and len_a == 43 and len_b == 44
+
+
+def test_hash_shingles_fast_path_result_identical(spark):
+    """Deployment fast path (xxhash64'd shingles) must produce the
+    IDENTICAL pair set and counts as the raw-string oracle form on a
+    real corpus slice — for both Jaccard and containment."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for fn, kw in (
+        (ngram_jaccard_pairs, dict(min_jaccard_pct=10)),
+        (containment_pairs, dict(min_containment_pct=30)),
+    ):
+        raw = sorted(tuple(r) for r in fn(docs, **kw).collect())
+        fast = sorted(
+            tuple(r) for r in fn(docs, hash_shingles=True, **kw).collect()
+        )
+        assert raw == fast and len(raw) > 0
