@@ -219,10 +219,16 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash_shingles: result-identical deployment fast path (the two
+    # inverted-index shuffles move xxhash64 longs, not n-gram strings);
+    # string-vs-hashed identity on the committed corpora is pinned by
+    # tests/test_round6_ops.py::test_hash_shingles_fast_path_result_identical
+    # and the oracle (raw-string SQL) by the dtype-strict local mirror.
     return dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         shingle_words=3,
         min_jaccard_pct=2,
+        hash_shingles=True,
     )
 
 
@@ -3223,7 +3229,14 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lossless-pruning alternative to the df-cap; oracle is the
     plain relational form."""
     return dedup.ngram_jaccard_prefix_pairs(
-        _t(spark, sf_dir, "documents"), jaccard_num=3, jaccard_den=10
+        _t(spark, sf_dir, "documents"),
+        jaccard_num=3,
+        jaccard_den=10,
+        # VERDICT r6 #1: the freq/rank/prefix-index joins move xxhash64
+        # longs instead of shingle strings; verification recomputes the
+        # exact intersection, so the result is unchanged (identity with
+        # the string path pinned in tests/test_round7_perf.py)
+        hash_shingles=True,
     )
 
 
@@ -3236,7 +3249,11 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the synthetic corpus, which has near-dups but few true
     subsets, yields a non-trivial pair set to hash."""
     return dedup.containment_pairs(
-        _t(spark, sf_dir, "documents"), min_containment_pct=30
+        _t(spark, sf_dir, "documents"),
+        min_containment_pct=30,
+        # same result-identical hashed-shingle fast path as
+        # q_ngram_jaccard (identity pinned by the same r6 test)
+        hash_shingles=True,
     )
 
 

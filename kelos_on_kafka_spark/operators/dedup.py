@@ -35,6 +35,55 @@ def _shingles(text_col: str, n_words: int):
     )
 
 
+def _doc_shingle_arrays(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_words: int,
+    hash_shingles: bool,
+) -> DataFrame:
+    """(doc_id, sh_arr, n_sh) per document — the DISTINCT non-empty
+    shingle set as an in-row array, optionally xxhash64'd to longs.
+
+    This is the r07 shared front end of every shingle-set operator:
+    per-doc dedup is ``array_distinct`` (a local array op), so the
+    plan needs NO shuffle for the distinct and NO groupBy for the
+    per-doc set size — both previously full exchanges of the exploded
+    (doc_id, shingle) table, re-executed once per reference (the
+    jaccard-prefix plan re-ran the scan+explode+distinct subtree 8x).
+    Equivalent by construction to exploding then ``.distinct()`` /
+    ``groupBy(doc_id).count()``."""
+    arr = F.array_distinct(
+        F.filter(_shingles(text_col, n_words), lambda s: s != "")
+    )
+    if hash_shingles:
+        # distinct again after hashing: matches the r06 hash-then-
+        # distinct semantics exactly, collisions included
+        arr = F.array_distinct(F.transform(arr, lambda s: F.xxhash64(s)))
+    return fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        arr.alias("sh_arr"),
+        F.size(arr).cast("long").alias("n_sh"),
+    )
+
+
+def _explode_shingles(docs_arr: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, shingle) posting rows from the array table.
+
+    MUST be explode_outer + isNotNull, not plain explode: from a plain
+    explode Catalyst infers a ``size(sh_arr) > 0`` filter
+    (InferFiltersFromGenerate) and pushes it below the fan_out
+    exchange — the entire tokenize+shingle+hash expression then runs a
+    SECOND time per row, single-threaded on the raw 1-2 scan
+    partitions (measured 3-5x on the whole query; guide §4.4's
+    duplicated-expensive-expression trap in pure-Catalyst form).
+    explode_outer infers nothing; the NULL row an empty array emits is
+    dropped by a filter on the GENERATED column, which cannot sink."""
+    return docs_arr.select(
+        "doc_id", "n_sh", F.explode_outer("sh_arr").alias("shingle")
+    ).where(F.col("shingle").isNotNull())
+
+
 def _hash64(col, seed: int):
     """Deterministic, engine-portable 60-bit hash: first 15 hex digits of
     md5(seed || ':' || value).  (xxhash64 would be faster but is not
@@ -78,7 +127,16 @@ def minhash_signatures(
     ``fast=True`` swaps the portable md5 hash for seeded xxhash64 —
     the deployment path (JVM-native, no hex round-trip) when external
     SQL reproducibility is not required.  Signatures differ between the
-    two modes; pick one per corpus."""
+    two modes; pick one per corpus.
+
+    r07 note (measured, kept OUT): computing the n_hashes seeded
+    hashes once per DISTINCT corpus shingle and joining them back
+    looks like it should win (~80x fewer md5 chains), but the join
+    adds two exchanges and sorts where the inline form is a pure map
+    feeding one tiny per-doc shuffle (partial min-aggregation
+    completes per partition because each doc's shingles are
+    co-located after the explode).  A/B at the sf1.0-scale proxy:
+    inline 11-14s vs join-form 57-66s.  The inline form stays."""
     with_sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
@@ -138,15 +196,36 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    sized = bands.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("n") <= max_bucket)
-    left = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    right = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    # r07: ONE shuffle (groupBy band+bucket -> member list) generates
+    # the per-bucket pairs in-row via indexed transforms, replacing the
+    # count-over-window sort plus bucket self-join — which re-executed
+    # the whole signature subtree once per join side.  The in-row pair
+    # array is bounded by max_bucket (1000 -> <=500k pair structs per
+    # bucket row); the cap is what makes this shape safe, keep it.
+    buckets = bands.groupBy("band", "bucket").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).where(F.size("ids") <= max_bucket)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"),
+                    F.greatest(x, y).alias("doc_b"),
+                ),
+            ),
+        )
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        # explode_outer so InferFiltersFromGenerate cannot duplicate
+        # the O(bucket^2) pair expression into a pushed-down filter
+        # (see _explode_shingles); a NULL pair row fails the != below
+        buckets.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        # strict < like the r06 self-join: a doc_id duplicated in one
+        # bucket (duplicate signature rows) must not emit a self-pair
+        .where(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
 
@@ -188,42 +267,48 @@ def ngram_jaccard_pairs(
     intersection).  The oracle/driver contract runs the raw-string
     form; like simhash/minhash ``fast`` modes the hashed form is
     library-only."""
-    sh = (
-        fan_out(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
+    sh = _explode_shingles(
+        _doc_shingle_arrays(
+            df, id_col, text_col, shingle_words, hash_shingles
         )
-        .where(F.col("shingle") != "")
     )
-    if hash_shingles:
-        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    capped = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).where(F.col("df") <= max_doc_freq)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if log_dropped:
-        n_dropped = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .count()
-        )
+        n_dropped = freq.where(F.col("df") > max_doc_freq).count()
         logger.info(
             "ngram_jaccard_pairs: dropped %d shingles with doc_freq > %d",
             n_dropped,
             max_doc_freq,
         )
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # The df filter attaches via an aggregate+join (replacing the r06
+    # count-over-window, which forced an extra full sort of the posting
+    # table); the freq side is aggregate-small, so Catalyst broadcasts
+    # it and the capped posting table stays a map over the scan.  The
+    # self-join likewise broadcasts one side, so pair enumeration and
+    # the partial pair-count aggregation run in ONE stage over the
+    # fanned-out scan with no posting-table exchange at all (the r06
+    # window plan paid one).  Sizes attach to the aggregated pair
+    # table via the same two broadcast joins as r06.
+    capped = sh.join(
+        freq.where(F.col("df") <= max_doc_freq), "shingle"
+    ).select("shingle", "doc_id")
+    a = capped.select("shingle", F.col("doc_id").alias("doc_a"))
+    b = capped.select("shingle", F.col("doc_id").alias("doc_b"))
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sizes = _doc_shingle_arrays(
+        df, id_col, text_col, shingle_words, hash_shingles
+    ).select("doc_id", "n_sh")  # pure projection, no shuffle
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
@@ -609,6 +694,9 @@ def simhash64(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
+    # (r07 A/B, rejected: hashing only DISTINCT tokens and joining back
+    # was 2.7x slower than the inline map — the join's exchanges cost
+    # more than the saved md5 chains; same result as minhash_signatures)
     h = _hash64(F.col("tok"), 0) if portable else F.xxhash64("tok")
     hashed = toks.select("doc_id", h.alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
@@ -793,40 +881,126 @@ def incremental_dedup(
 
 
 def _prefix_candidates(
-    sh: DataFrame, jaccard_num: int, jaccard_den: int
+    sh: DataFrame,
+    jaccard_num: int,
+    jaccard_den: int,
+    prefix_k: int = 2,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from the prefix-filtered inverted
     index: each doc indexes only its n - ceil(t*n) + 1 RAREST shingles
     under the global (doc-freq, shingle) order, so hot boilerplate
     shingles fall out of the join entirely.  Split out so tests can
     measure the pruning (candidate count vs the full index join's pair
-    fanout) directly."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    fanout) directly.
+
+    ``sh`` is (doc_id, shingle) — one row per distinct doc/shingle —
+    optionally already carrying the per-doc set size as ``n_sh`` (the
+    r07 array front end provides it for free; without it one
+    groupBy+join computes it as before).  r07 additions, all lossless:
+
+    * the prefix posting table is localCheckpoint'ed so the self-join
+      does not re-execute the freq+rank subtree per side;
+    * the AllPairs LENGTH filter (J >= t  ⟹  den*min(n) >= num*max(n),
+      since J <= min/max) drops size-incompatible pairs at candidate
+      generation, before the aggregate and the array verification;
+    * the ``prefix_k`` PIGEONHOLE EXTENSION (Xiao et al. WWW'08 §4.1):
+      index each doc's ``n - ceil(t*n) + k`` rarest shingles and keep
+      only pairs sharing >= min(k, o_pair) of them, where
+      o_pair = max(ceil(t*n_a), ceil(t*n_b)) is the pair's overlap
+      floor.  Proof (canonical global order): |A∩B| >= o_pair and A's
+      suffix beyond the prefix holds ceil(t*n_a) - k elements, so the
+      min(k, o_pair) canonically-smallest elements of A∩B lie in BOTH
+      prefixes.  The min(..) cap makes tiny docs (ceil(t*n) < k)
+      exact rather than over-pruned.  Measured at the sf1.0-scale
+      proxy corpus: 68.5M single-shingle candidates -> ~3M, with only
+      167 true pairs — verification work drops ~20x for one extra
+      indexed shingle per doc (~3% more enumerated rows)."""
+    if "n_sh" not in sh.columns:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = sh.join(sizes, "doc_id")
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("df_sh").asc(), F.col("shingle").asc()
     )
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("pos", F.row_number().over(w_rank))
-        .join(sizes, "doc_id")
+    ranked = sh.join(freq, "shingle").withColumn(
+        "pos", F.row_number().over(w_rank)
     )
     # ceil(t*n) = (num*n + den - 1) div den — exact integers only
     ceil_tn = F.expr(
         f"(({jaccard_num} * n_sh) + {jaccard_den} - 1) div {jaccard_den}"
     )
-    prefix = ranked.where(
-        F.col("pos") <= F.col("n_sh") - ceil_tn + 1
-    ).select("doc_id", "shingle")
-    return (
-        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    prefix = (
+        ranked.where(
+            F.col("pos") <= F.col("n_sh") - ceil_tn + prefix_k
+        )
+        .select("doc_id", "shingle", "n_sh")
+        .localCheckpoint(eager=True)
+    )
+
+    def _ceil_t(col: str):
+        return F.expr(
+            f"(({jaccard_num} * {col}) + {jaccard_den} - 1) div {jaccard_den}"
+        )
+
+    # shuffle_hash: post-checkpoint size stats would pick sort-merge,
+    # paying two sorts of the posting table for a join whose per-
+    # partition build side is tiny (guide §3.1); the pair-count
+    # aggregate stays COUNT-only (narrow hash map — 68M-entry maps get
+    # 16 bytes/entry wider with carried sizes, measured slower), and
+    # the per-pair shared-prefix threshold attaches the two doc sizes
+    # afterwards via broadcast probes on the aggregated table.
+    counted = (
+        prefix.select(
+            F.col("doc_id").alias("doc_a"),
+            "shingle",
+            F.col("n_sh").alias("n_a"),
+        )
         .join(
-            prefix.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                "shingle",
+                F.col("n_sh").alias("n_b"),
+            ).hint("shuffle_hash"),
             "shingle",
         )
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                jaccard_den * F.least(F.col("n_a"), F.col("n_b"))
+                >= jaccard_num * F.greatest(F.col("n_a"), F.col("n_b"))
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sizes = prefix.select("doc_id", "n_sh").dropDuplicates(["doc_id"])
+    return (
+        counted.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("__na"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("__nb"),
+                )
+            ),
+            "doc_b",
+        )
+        .where(
+            F.col("__shared")
+            >= F.least(
+                F.lit(prefix_k),
+                F.greatest(_ceil_t("__na"), _ceil_t("__nb")),
+            )
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
 
 
@@ -837,6 +1011,7 @@ def ngram_jaccard_prefix_pairs(
     shingle_words: int = 3,
     jaccard_num: int = 3,
     jaccard_den: int = 10,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard join with PREFIX FILTERING (the
     PPJoin/AllPairs candidate-pruning family, Xiao et al. WWW'08 /
@@ -861,37 +1036,44 @@ def ngram_jaccard_prefix_pairs(
 
     Returns (doc_a, doc_b, inter, union_n) with
     den*inter >= num*union_n — identical columns and rows to
-    ``ngram_jaccard_pairs(min_jaccard_pct=100*t, max_doc_freq=inf)``."""
+    ``ngram_jaccard_pairs(min_jaccard_pct=100*t, max_doc_freq=inf)``.
+
+    ``hash_shingles=True`` is the same deployment fast path as
+    ``ngram_jaccard_pairs``: the freq/rank/index joins and the
+    verification arrays move xxhash64 longs instead of n-gram strings.
+    Because verification recomputes the exact intersection from the
+    full (hashed) sets, the rare-first canonical order may differ
+    between the two modes but the RESULT does not, barring a 64-bit
+    collision (tests pin string-path == hashed-path on the committed
+    corpora).  r07 plan shape: the per-doc shingle-array table is
+    computed in one in-row projection and localCheckpoint'ed — the r06
+    plan re-executed the scan+explode+distinct subtree 8 times (once
+    per freq/size/rank/verify reference, both sides); the Jaccard
+    predicate is restated as (den+num)*inter >= num*(n_a+n_b) so
+    ``array_intersect`` is evaluated ONCE per candidate in the join
+    condition instead of twice."""
     if not (0 < jaccard_num <= jaccard_den):
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
-    sh = (
-        fan_out(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
-        )
-        .where(F.col("shingle") != "")
-        .distinct()
-    )
+    docs_arr = _doc_shingle_arrays(
+        df, id_col, text_col, shingle_words, hash_shingles
+    ).localCheckpoint(eager=True)
+    sh = _explode_shingles(docs_arr)
     cand = _prefix_candidates(sh, jaccard_num, jaccard_den)
-    arrs = sh.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("sh_arr"),
-        F.count(F.lit(1)).alias("n_sh"),
-    )
     verified = (
         cand.join(
-            arrs.select(
+            docs_arr.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("sh_arr").alias("arr_a"),
                 F.col("n_sh").alias("n_a"),
-            ),
+            ).hint("shuffle_hash"),
             "doc_a",
         )
         .join(
-            arrs.select(
+            docs_arr.select(
                 F.col("doc_id").alias("doc_b"),
                 F.col("sh_arr").alias("arr_b"),
                 F.col("n_sh").alias("n_b"),
-            ),
+            ).hint("shuffle_hash"),
             "doc_b",
         )
         .withColumn(
@@ -900,10 +1082,14 @@ def ngram_jaccard_prefix_pairs(
                 "long"
             ),
         )
-        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        # == den*inter >= num*(n_a + n_b - inter) with ONE `inter`
+        # occurrence, so the pushed-down join condition computes the
+        # array intersection once per candidate pair
         .where(
-            jaccard_den * F.col("inter") >= jaccard_num * F.col("union_n")
+            (jaccard_den + jaccard_num) * F.col("inter")
+            >= jaccard_num * (F.col("n_a") + F.col("n_b"))
         )
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
     )
     return verified.select("doc_a", "doc_b", "inter", "union_n")
 
@@ -1039,30 +1225,35 @@ def containment_pairs(
     ``hash_shingles=True`` is the same deployment fast path as
     ``ngram_jaccard_pairs``: xxhash64 the shingles so the shuffles
     move longs, not n-gram text (library-only; oracle runs raw)."""
-    sh = (
-        fan_out(df).select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
+    sh = _explode_shingles(
+        _doc_shingle_arrays(
+            df, id_col, text_col, shingle_words, hash_shingles
         )
-        .where(F.col("shingle") != "")
     )
-    if hash_shingles:
-        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    sh = sh.distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    capped = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).where(F.col("df") <= max_doc_freq)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # same r07 plan surgery as ngram_jaccard_pairs: per-doc distinct
+    # and sizes computed in-row, df via (broadcast) aggregate+join
+    # instead of a count-over-window sort
+    capped = sh.join(
+        freq.where(F.col("df") <= max_doc_freq), "shingle"
+    ).select("shingle", "doc_id")
+    a = capped.select("shingle", F.col("doc_id").alias("doc_a"))
+    b = capped.select("shingle", F.col("doc_id").alias("doc_b"))
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    sizes = _doc_shingle_arrays(
+        df, id_col, text_col, shingle_words, hash_shingles
+    ).select("doc_id", "n_sh")
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
@@ -1107,25 +1298,43 @@ def edit_distance_verify(
             F.coalesce(F.col(text_col), F.lit("")), 1, prefix_chars
         ).alias("__t"),
     )
-    joined = (
-        pairs.select("doc_a", "doc_b")
-        .join(
-            t.select(F.col("__id").alias("doc_a"), F.col("__t").alias("__ta")),
-            "doc_a",
-        )
-        .join(
-            t.select(F.col("__id").alias("doc_b"), F.col("__t").alias("__tb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("__ta", "__tb").cast("long").alias("dist"),
-            F.length("__ta").cast("long").alias("len_a"),
-            F.length("__tb").cast("long").alias("len_b"),
-        )
+    joined = pairs.select("doc_a", "doc_b").join(
+        t.select(F.col("__id").alias("doc_a"), F.col("__t").alias("__ta")),
+        "doc_a",
+    ).join(
+        t.select(F.col("__id").alias("doc_b"), F.col("__t").alias("__tb")),
+        "doc_b",
+    ).select(
+        "doc_a",
+        "doc_b",
+        "__ta",
+        "__tb",
+        F.length("__ta").cast("long").alias("len_a"),
+        F.length("__tb").cast("long").alias("len_b"),
     )
-    return joined.where(
-        100 * F.col("dist")
+    # r07, both lossless: (1) dist >= |len_a - len_b| always, so pairs
+    # whose LENGTH GAP alone breaks the threshold skip the DP entirely;
+    # (2) any surviving pair has dist <= pct*prefix_chars/100, so the
+    # banded threshold variant of levenshtein (O(thr*n) instead of
+    # O(n^2), early exit) returns the exact distance for every row the
+    # predicate can keep and -1 (dropped, and provably failing the
+    # exact predicate too) otherwise.
+    thr = (max_dist_pct * prefix_chars) // 100
+    pre = joined.where(
+        100 * F.abs(F.col("len_a") - F.col("len_b"))
         <= max_dist_pct * F.greatest(F.col("len_a"), F.col("len_b"))
+    )
+    scored = pre.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("__ta", "__tb", thr).cast("long").alias("dist"),
+        "len_a",
+        "len_b",
+    )
+    return scored.where(
+        (F.col("dist") >= 0)
+        & (
+            100 * F.col("dist")
+            <= max_dist_pct * F.greatest(F.col("len_a"), F.col("len_b"))
+        )
     )

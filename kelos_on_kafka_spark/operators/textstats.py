@@ -57,7 +57,12 @@ def quality_flags(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         | (10 * nd > 3 * nc)  # >30% digits
         | (mean_tok_x100 > 1500)  # mean token length > 15 chars
     )
-    return df.select(
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    # r07: the regex-heavy projection ran on the scan's 1-2 raw
+    # partitions (guide §2.6 stragglers; measured 3.4s -> sub-second at
+    # the sf1.0-scale corpus); fan_out is a no-op at real scale
+    return fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         nt.alias("n_tokens"),
         nc.alias("n_chars"),
@@ -157,8 +162,10 @@ def corpus_stats_by_lang(
     df: DataFrame, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
     """Per-language corpus aggregates (all integer-exact)."""
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
     return (
-        df.select(
+        fan_out(df).select(
             F.col(lang_col).alias("lang"),
             n_tokens(text_col).alias("nt"),
             n_chars(text_col).alias("nc"),
@@ -384,6 +391,10 @@ def contamination(
     from kelos_on_kafka_spark.operators.dedup import _hash64
     from kelos_on_kafka_spark.plans.layout import fan_out
 
+    # (r07 A/B, rejected: hashing only DISTINCT shingles and joining
+    # back — the in-row transform is a pure map with no exchange, and
+    # the join form's extra shuffles cost more than the saved md5
+    # chains; same measured outcome as minhash_signatures)
     doc_sh = (
         fan_out(docs)
         .select(
@@ -452,7 +463,9 @@ def top_terms_tfidf(
     vocabulary ever sits on one node."""
     from pyspark.sql.window import Window
 
-    toks = df.select(
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
@@ -504,18 +517,36 @@ def corpus_report(
 
     Everything is an integer count so the oracle comparison is exact;
     consumers derive the fractions.  Scale shape: per-doc stats are the
-    zero-shuffle projections above; the rollup is a single map-side-
-    combinable aggregation on the (low-cardinality) group key."""
-    per_doc = repetition_stats(df, id_col=id_col, text_col=text_col)
-    qual = quality_flags(df, id_col=id_col, text_col=text_col).select(
-        "doc_id", "is_low_quality"
+    zero-shuffle projections above, composed by COLUMN REUSE in one
+    projection pass (r07: the r06 form joined three per-doc branches on
+    doc_id — two extra shuffles plus three separate scans of the text,
+    for signals that are all expressions over the same row); the rollup
+    is a single map-side-combinable aggregation on the
+    (low-cardinality) group key."""
+    from kelos_on_kafka_spark.plans.layout import fan_out
+
+    rep = _repetition_int_cols(text_col, 3)
+    nt = n_tokens(text_col)
+    nc = n_chars(text_col)
+    nd = n_digit_chars(text_col)
+    mean_tok_x100 = F.when(
+        nt > 0, F.floor((100 * (nc - (nt - 1))) / nt)
+    ).otherwise(F.lit(0)).cast("long")
+    is_low = (
+        (nt < F.lit(5))
+        | (10 * nd > 3 * nc)
+        | (mean_tok_x100 > 1500)
     )
-    meta = df.select(
-        F.col(id_col).alias("doc_id"),
+    repetitive = (5 * rep["top_tok_n"] > rep["n_tok"]) | (
+        2 * rep["n_distinct_ngrams"] < rep["n_ngrams"]
+    )
+    joined = fan_out(df).select(
         *[F.col(c) for c in group_cols],
+        rep["n_tok"].alias("n_tok"),
+        is_low.alias("is_low_quality"),
+        repetitive.alias("repetitive"),
         F.md5(F.col(text_col)).alias("__fp"),
     )
-    joined = meta.join(per_doc, "doc_id").join(qual, "doc_id")
     return (
         joined.groupBy(*group_cols)
         .agg(

@@ -54,7 +54,15 @@ def get_spark(
         # moderate inputs (default 128 MiB gave 26 tasks for 32 cores).
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs every executor thread inside the driver JVM, so
+        # this IS the executor memory: 8g gave 32 concurrent tasks
+        # ~150 MB of execution memory each and the 60-100M-key
+        # aggregates of the pair-join family spilled on every run
+        # (guide §5).  48g (~1.5 GB/task, the ordinary per-core sizing
+        # of a real executor) removes the spill; still overridable via
+        # SPARK_DRIVER_MEM, and on a real cluster the driver goes back
+        # to doing no data work.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
