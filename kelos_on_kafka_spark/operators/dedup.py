@@ -267,48 +267,48 @@ def ngram_jaccard_pairs(
     intersection).  The oracle/driver contract runs the raw-string
     form; like simhash/minhash ``fast`` modes the hashed form is
     library-only."""
-    sh = _explode_shingles(
-        _doc_shingle_arrays(
-            df, id_col, text_col, shingle_words, hash_shingles
+    # r07 A/B note: an array-front-end variant (in-row distinct + freq
+    # aggregate+broadcast join) measured 22s vs this form's 16.6s at
+    # the sf1.0-scale proxy, stable over 4 interleaved reps — the
+    # extra per-row array materializations cost more than the distinct
+    # exchange + count-window they removed.  The r06 shape stays; the
+    # declared queries' win comes from hash_shingles=True.
+    sh = (
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
         )
+        .where(F.col("shingle") != "")
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if hash_shingles:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).where(F.col("df") <= max_doc_freq)
     if log_dropped:
-        n_dropped = freq.where(F.col("df") > max_doc_freq).count()
+        n_dropped = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .count()
+        )
         logger.info(
             "ngram_jaccard_pairs: dropped %d shingles with doc_freq > %d",
             n_dropped,
             max_doc_freq,
         )
-    # The df filter attaches via an aggregate+join (replacing the r06
-    # count-over-window, which forced an extra full sort of the posting
-    # table); the freq side is aggregate-small, so Catalyst broadcasts
-    # it and the capped posting table stays a map over the scan.  The
-    # self-join likewise broadcasts one side, so pair enumeration and
-    # the partial pair-count aggregation run in ONE stage over the
-    # fanned-out scan with no posting-table exchange at all (the r06
-    # window plan paid one).  Sizes attach to the aggregated pair
-    # table via the same two broadcast joins as r06.
-    capped = sh.join(
-        freq.where(F.col("df") <= max_doc_freq), "shingle"
-    ).select("shingle", "doc_id")
-    a = capped.select("shingle", F.col("doc_id").alias("doc_a"))
-    b = capped.select("shingle", F.col("doc_id").alias("doc_b"))
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = _doc_shingle_arrays(
-        df, id_col, text_col, shingle_words, hash_shingles
-    ).select("doc_id", "n_sh")  # pure projection, no shuffle
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
@@ -1225,35 +1225,32 @@ def containment_pairs(
     ``hash_shingles=True`` is the same deployment fast path as
     ``ngram_jaccard_pairs``: xxhash64 the shingles so the shuffles
     move longs, not n-gram text (library-only; oracle runs raw)."""
-    sh = _explode_shingles(
-        _doc_shingle_arrays(
-            df, id_col, text_col, shingle_words, hash_shingles
+    # (same r07 A/B outcome as ngram_jaccard_pairs: the r06 shape wins;
+    # the declared query's gain is hash_shingles=True)
+    sh = (
+        fan_out(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_shingles(text_col, shingle_words)).alias("shingle"),
         )
+        .where(F.col("shingle") != "")
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # same r07 plan surgery as ngram_jaccard_pairs: per-doc distinct
-    # and sizes computed in-row, df via (broadcast) aggregate+join
-    # instead of a count-over-window sort
-    capped = sh.join(
-        freq.where(F.col("df") <= max_doc_freq), "shingle"
-    ).select("shingle", "doc_id")
-    a = capped.select("shingle", F.col("doc_id").alias("doc_a"))
-    b = capped.select("shingle", F.col("doc_id").alias("doc_b"))
+    if hash_shingles:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    capped = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).where(F.col("df") <= max_doc_freq)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = _doc_shingle_arrays(
-        df, id_col, text_col, shingle_words, hash_shingles
-    ).select("doc_id", "n_sh")
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
-    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")

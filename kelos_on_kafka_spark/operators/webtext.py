@@ -320,13 +320,17 @@ def cohort_retention(
     user key, one final rollup.  No window functions, no text, no
     floats; at 10^12 events the (user, day) projection is the only
     thing that ever shuffles."""
-    from kelos_on_kafka_spark.operators.windowing import epoch_us
-
     d = df.select(
         F.col(key_col),
-        (epoch_us(ts_col) / F.lit(bucket_us))
-        .cast("long")
-        .alias("day_id"),
+        # integer floor division (ADVICE r6): long/long is DOUBLE
+        # division in Spark and only truncates exactly while
+        # epoch_us < 2^53; `div` matches the oracle's // and the
+        # repo's integer-exact convention at any epoch
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+            f"CAST({ts_col} AS TIMESTAMP_NTZ)) div {bucket_us}"
+        ).alias("day_id"),
     ).distinct()
     first = d.groupBy(key_col).agg(F.min("day_id").alias("cohort_day"))
     return (

@@ -55,14 +55,15 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
         # local[N] runs every executor thread inside the driver JVM, so
-        # this IS the executor memory: 8g gave 32 concurrent tasks
-        # ~150 MB of execution memory each and the 60-100M-key
-        # aggregates of the pair-join family spilled on every run
-        # (guide §5).  48g (~1.5 GB/task, the ordinary per-core sizing
-        # of a real executor) removes the spill; still overridable via
-        # SPARK_DRIVER_MEM, and on a real cluster the driver goes back
-        # to doing no data work.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # this IS the executor memory.  r07 measured BOTH directions on
+        # the full 95-query bench at sf1.0 scale: 48g removes the spill
+        # of the 60M+-key pair aggregates per-query, but the big heap
+        # degrades the LONG session — the in-run drift sentinel rose
+        # 3.3x by query ~75 and the whole set took 446s vs 308s at 8g
+        # (GC of a grown heap + page-cache pressure cost more than the
+        # spill it saved).  8g stays; override via SPARK_DRIVER_MEM for
+        # single heavy jobs.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
