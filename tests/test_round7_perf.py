@@ -145,3 +145,63 @@ def test_lsh_bucket_pair_generation_matches_self_join(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+# --- VERDICT r6 #5: skew exposure of the prefix join's frequency path ---
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_TOKS = ["spark", "sort", "hash", "join", "scan", "agg", "row", "col"]
+
+# docs from a tiny alphabet, half carrying a shared boilerplate prefix
+# -> guaranteed hot shingles whose doc-frequency dominates the freq
+# join (the skewed-key regime VERDICT r6 #5 flagged)
+_DOCS = st.lists(
+    st.tuples(
+        st.integers(0, 10**6),
+        st.booleans(),
+        st.lists(st.sampled_from(_TOKS), min_size=3, max_size=10),
+    ),
+    min_size=2,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_DOCS, num=st.sampled_from([3, 5]))
+def test_prefix_join_identical_under_hot_shingle_skew(spark, rows, num):
+    """On arbitrary corpora with planted boilerplate (hot shingles),
+    the k=2-prefix candidate pipeline must remain result-identical to
+    the plain uncapped inverted-index join — skew handling (rare-first
+    ranking, length filter, pigeonhole count) may only PRUNE
+    candidates, never change the verified pair set."""
+    from kelos_on_kafka_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("alpha beta gamma " if boil else "") + " ".join(toks))
+            for i, boil, toks in rows
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in ngram_jaccard_prefix_pairs(
+            docs, jaccard_num=num, jaccard_den=10
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, min_jaccard_pct=10 * num, max_doc_freq=10**9
+        ).collect()
+    )
+    assert got == want
