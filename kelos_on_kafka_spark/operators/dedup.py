@@ -84,6 +84,64 @@ def _explode_shingles(docs_arr: DataFrame) -> DataFrame:
     ).where(F.col("shingle").isNotNull())
 
 
+_PACK_MAX = 1 << 31
+
+
+def _pair_ids_packable(df: DataFrame, id_col: str) -> bool:
+    """True when ``id_col`` is an integral, non-negative column whose
+    values all fit below 2^31 — the precondition for keying a
+    (doc_a, doc_b) pair-count aggregate on ONE packed long
+    (``doc_a << 32 | doc_b``) instead of two longs, which halves the
+    key bytes moved through the pair shuffle (the dominant exchange of
+    the flat inverted-index joins; measured 1.2x on the sf1.0-scale
+    proxy).  Costs one tiny min/max job over the id column; returns
+    False (→ the caller keeps the plain two-column aggregate) for
+    string/decimal ids, wider ids, negative ids, or streaming inputs
+    where the probe job cannot run.  Packing under this guard is a
+    bijection, so the aggregate groups are EXACTLY the (doc_a, doc_b)
+    groups — result-identical by construction."""
+    if df.isStreaming:
+        return False
+    if dict(df.dtypes).get(id_col) not in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    ):
+        return False
+    row = df.select(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    return row["lo"] is not None and row["lo"] >= 0 and row["hi"] < _PACK_MAX
+
+
+def _pair_count(enum: DataFrame, out_col: str, packed: bool, id_dtype: str):
+    """groupBy(doc_a, doc_b).count() over enumerated co-occurrence rows,
+    optionally via the packed single-long key (see _pair_ids_packable;
+    caller must have verified the guard).  Unpacked ids are cast back to
+    the input id dtype so the output schema is identical either way."""
+    if not packed:
+        return enum.groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias(out_col)
+        )
+    pk = F.shiftleft(F.col("doc_a").cast("long"), 32) + F.col("doc_b").cast(
+        "long"
+    )
+    return (
+        enum.select(pk.alias("__pk"))
+        .groupBy("__pk")
+        .agg(F.count(F.lit(1)).alias(out_col))
+        .select(
+            F.shiftright("__pk", 32).cast(id_dtype).alias("doc_a"),
+            F.col("__pk")
+            .bitwiseAND(F.lit((1 << 32) - 1))
+            .cast(id_dtype)
+            .alias("doc_b"),
+            out_col,
+        )
+    )
+
+
 def _hash64(col, seed: int):
     """Deterministic, engine-portable 60-bit hash: first 15 hex digits of
     md5(seed || ':' || value).  (xxhash64 would be faster but is not
@@ -239,6 +297,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 1000,
     log_dropped: bool = False,
     hash_shingles: bool = False,
+    pack_pairs: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle
     (shingle-inverted-index join, never a cross join).  Integer-only
@@ -266,13 +325,28 @@ def ngram_jaccard_pairs(
     collision can only ADD one spurious shared shingle to a pair's
     intersection).  The oracle/driver contract runs the raw-string
     form; like simhash/minhash ``fast`` modes the hashed form is
-    library-only."""
+    library-only.
+
+    ``pack_pairs=True`` (default) keys the pair-count aggregate — the
+    dominant shuffle (~n_pairs distinct keys) — on one packed long
+    instead of (doc_a, doc_b) whenever the runtime id-range guard
+    passes (``_pair_ids_packable``); result-identical by construction
+    (the pack is a bijection under the guard) and measured 1.2x at the
+    sf1.0-scale proxy.  Ids that fail the guard fall back to the
+    two-column aggregate automatically."""
     # r07 A/B note: an array-front-end variant (in-row distinct + freq
     # aggregate+broadcast join) measured 22s vs this form's 16.6s at
     # the sf1.0-scale proxy, stable over 4 interleaved reps — the
     # extra per-row array materializations cost more than the distinct
-    # exchange + count-window they removed.  The r06 shape stays; the
-    # declared queries' win comes from hash_shingles=True.
+    # exchange + count-window they removed; an in-row per-shingle
+    # ordered-pair generation (collect_list + flatten/transform — the
+    # shape that won for LSH banding) measured 24.5s vs 18.5s over 3
+    # interleaved reps, the giant per-hot-shingle pair arrays costing
+    # more than the sorted SMJ enumeration they replaced.  The r06
+    # shape stays; the declared queries' wins are hash_shingles=True
+    # and the packed pair key.
+    packed = pack_pairs and _pair_ids_packable(df, id_col)
+    id_dtype = dict(df.dtypes)[id_col]
     sh = (
         fan_out(df).select(
             F.col(id_col).alias("doc_id"),
@@ -301,11 +375,11 @@ def ngram_jaccard_pairs(
         )
     a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _pair_count(
+        a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b")),
+        "inter",
+        packed,
+        id_dtype,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
@@ -885,6 +959,8 @@ def _prefix_candidates(
     jaccard_num: int,
     jaccard_den: int,
     prefix_k: int = 2,
+    packed: bool = False,
+    id_dtype: str = "bigint",
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from the prefix-filtered inverted
     index: each doc indexes only its n - ceil(t*n) + 1 RAREST shingles
@@ -949,7 +1025,7 @@ def _prefix_candidates(
     # 16 bytes/entry wider with carried sizes, measured slower), and
     # the per-pair shared-prefix threshold attaches the two doc sizes
     # afterwards via broadcast probes on the aggregated table.
-    counted = (
+    counted = _pair_count(
         prefix.select(
             F.col("doc_id").alias("doc_a"),
             "shingle",
@@ -969,9 +1045,10 @@ def _prefix_candidates(
                 jaccard_den * F.least(F.col("n_a"), F.col("n_b"))
                 >= jaccard_num * F.greatest(F.col("n_a"), F.col("n_b"))
             )
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("__shared"))
+        ),
+        "__shared",
+        packed,
+        id_dtype,
     )
     sizes = prefix.select("doc_id", "n_sh").dropDuplicates(["doc_id"])
     return (
@@ -1012,6 +1089,7 @@ def ngram_jaccard_prefix_pairs(
     jaccard_num: int = 3,
     jaccard_den: int = 10,
     hash_shingles: bool = False,
+    pack_pairs: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard join with PREFIX FILTERING (the
     PPJoin/AllPairs candidate-pruning family, Xiao et al. WWW'08 /
@@ -1051,14 +1129,23 @@ def ngram_jaccard_prefix_pairs(
     per freq/size/rank/verify reference, both sides); the Jaccard
     predicate is restated as (den+num)*inter >= num*(n_a+n_b) so
     ``array_intersect`` is evaluated ONCE per candidate in the join
-    condition instead of twice."""
+    condition instead of twice.  ``pack_pairs`` is the same guarded
+    packed-pair-key candidate aggregate as ``ngram_jaccard_pairs``
+    (result-identical; see there)."""
     if not (0 < jaccard_num <= jaccard_den):
         raise ValueError("threshold must satisfy 0 < num/den <= 1")
+    packed = pack_pairs and _pair_ids_packable(df, id_col)
     docs_arr = _doc_shingle_arrays(
         df, id_col, text_col, shingle_words, hash_shingles
     ).localCheckpoint(eager=True)
     sh = _explode_shingles(docs_arr)
-    cand = _prefix_candidates(sh, jaccard_num, jaccard_den)
+    cand = _prefix_candidates(
+        sh,
+        jaccard_num,
+        jaccard_den,
+        packed=packed,
+        id_dtype=dict(df.dtypes)[id_col],
+    )
     verified = (
         cand.join(
             docs_arr.select(
@@ -1206,6 +1293,7 @@ def containment_pairs(
     min_containment_pct: int = 80,
     max_doc_freq: int = 1000,
     hash_shingles: bool = False,
+    pack_pairs: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by shingle containment:
     containment(A,B) = |A∩B| / min(|A|,|B|) — the max of the two
@@ -1224,9 +1312,13 @@ def containment_pairs(
     Returns (doc_a, doc_b, inter, n_a, n_b), doc_a < doc_b.
     ``hash_shingles=True`` is the same deployment fast path as
     ``ngram_jaccard_pairs``: xxhash64 the shingles so the shuffles
-    move longs, not n-gram text (library-only; oracle runs raw)."""
+    move longs, not n-gram text (library-only; oracle runs raw).
+    ``pack_pairs`` is the same guarded packed-pair-key aggregate as
+    ``ngram_jaccard_pairs`` (result-identical; see there)."""
     # (same r07 A/B outcome as ngram_jaccard_pairs: the r06 shape wins;
-    # the declared query's gain is hash_shingles=True)
+    # the declared query's gains are hash_shingles=True + packed key)
+    packed = pack_pairs and _pair_ids_packable(df, id_col)
+    id_dtype = dict(df.dtypes)[id_col]
     sh = (
         fan_out(df).select(
             F.col(id_col).alias("doc_id"),
@@ -1243,11 +1335,11 @@ def containment_pairs(
     ).where(F.col("df") <= max_doc_freq)
     a = capped.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = capped.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    inter = _pair_count(
+        a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b")),
+        "inter",
+        packed,
+        id_dtype,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
